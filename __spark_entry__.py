@@ -1,38 +1,190 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The engine under test is ``stellar_etl_spark`` — a from-scratch
+PySpark structured-streaming/CEP engine over transcript tables
+(SURVEY.md). The transcripts input is derived *deterministically and
+SQL-expressibly* from the driver's ``events`` table
+(stellar_etl_spark/sources/transcripts.py), so every query below has
+an exact DuckDB oracle sharing the same CTE.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stellar_etl_spark.config import EngineConfig
+from stellar_etl_spark.operators import dims, pairs, rollups, sessions, skew, state
+from stellar_etl_spark.operators.enrich import enrich_turns
+from stellar_etl_spark.sources.transcripts import TRANSCRIPTS_CTE, load_transcripts
+
+CFG = EngineConfig()
+
+_T = lambda spark, sf_dir: load_transcripts(spark, sf_dir)  # noqa: E731
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: session-window closes with per-session counts
+    (the ledger-close analog) on sf0.001."""
+    return sessions.sessionize(_T(spark, "/root/testdata/sf0.001"), CFG)
+
+
+# --- query registry -------------------------------------------------------
+
+def _q_turns_enriched(spark, sf):
+    return enrich_turns(_T(spark, sf), CFG)
+
+
+def _q_sessions(spark, sf):
+    return sessions.sessionize(_T(spark, sf), CFG)
+
+
+def _q_tool_rate_1m(spark, sf):
+    return rollups.tool_rate(_T(spark, sf), CFG)
+
+
+def _q_role_rate_1m(spark, sf):
+    return rollups.role_rate(_T(spark, sf), CFG)
+
+
+def _q_tool_rate_5m_sliding(spark, sf):
+    return rollups.tool_rate_sliding(_T(spark, sf), CFG)
+
+
+def _q_turn_pairs(spark, sf):
+    return pairs.match_pairs(_T(spark, sf), CFG)
+
+
+def _q_compact_last_state(spark, sf):
+    return state.compact_last_state(_T(spark, sf))
+
+
+def _q_asof_last_tool(spark, sf):
+    return state.asof_last_tool(_T(spark, sf))
+
+
+def _q_initiating_user(spark, sf):
+    return state.initiating_user_turn(_T(spark, sf))
+
+
+def _q_dim_tools(spark, sf):
+    return dims.dim_tools(_T(spark, sf))
+
+
+def _q_explode_tokens(spark, sf):
+    return dims.explode_tokens(_T(spark, sf))
+
+
+def _q_top_convs(spark, sf):
+    return dims.top_convs(_T(spark, sf))
+
+
+def _q_turn_range_from_times(spark, sf):
+    """Time->range resolution (get_ledger_range_from_times analog,
+    /root/reference/internal/input/ledger_range.go:32-68): partition
+    pruning replaces the reference's remote binary search."""
+    df = _T(spark, sf).filter(
+        (F.col("ts") >= "2024-01-05") & (F.col("ts") < "2024-01-10")
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count_distinct("conv_id").cast("long").alias("n_convs"),
+    )
+
+
+def _q_transform_stats(spark, sf):
+    """Attempted/successful/failed counters (PrintTransformStats analog,
+    /root/reference/cmd/command_utils.go:90-103)."""
+    e = enrich_turns(_T(spark, sf), CFG)
+    return e.agg(
+        F.count(F.lit(1)).cast("long").alias("attempted"),
+        F.sum(F.when(F.col("error").isNull(), 1).otherwise(0)).cast("long").alias("successful"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).cast("long").alias("failed"),
+    )
+
+
+def _q_salted_tool_rate(spark, sf):
+    return skew.salted_windowed_tool_counts(_T(spark, sf))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "turns_enriched": _q_turns_enriched,
+        "sessions": _q_sessions,
+        "tool_rate_1m": _q_tool_rate_1m,
+        "role_rate_1m": _q_role_rate_1m,
+        "tool_rate_5m_sliding": _q_tool_rate_5m_sliding,
+        "turn_pairs": _q_turn_pairs,
+        "compact_last_state": _q_compact_last_state,
+        "asof_last_tool": _q_asof_last_tool,
+        "initiating_user": _q_initiating_user,
+        "dim_tools": _q_dim_tools,
+        "explode_tokens": _q_explode_tokens,
+        "top_convs": _q_top_convs,
+        "turn_range_from_times": _q_turn_range_from_times,
+        "transform_stats": _q_transform_stats,
+        "salted_tool_rate": _q_salted_tool_rate,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- oracles ---------------------------------------------------------------
+
+_W = f"WITH {TRANSCRIPTS_CTE}"
+
+_TURNS_ENRICHED_SQL = f"""{_W}
+SELECT conv_id, turn_idx, role, text, tool, ts,
+       CAST(SUBSTR(conv_id, 2) AS BIGINT) * 1048576 + turn_idx AS turn_id,
+       CAST(LENGTH(text) AS INT) AS text_len,
+       CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS INT) AS word_count,
+       CAST(NULL AS VARCHAR) AS error
+FROM transcripts
+"""
+
+_RANGE_SQL = f"""{_W}
+SELECT COUNT(*) AS n_turns, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       COUNT(DISTINCT conv_id) AS n_convs
+FROM transcripts
+WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-10'
+"""
+
+_STATS_SQL = f"""{_W}
+SELECT COUNT(*) AS attempted, COUNT(*) AS successful, 0::BIGINT AS failed
+FROM transcripts
+"""
+
+_SALTED_SQL = f"""{_W}
+SELECT to_timestamp(floor(epoch(ts)/60)*60)::TIMESTAMP AS window_start,
+       to_timestamp(floor(epoch(ts)/60)*60 + 60)::TIMESTAMP AS window_end,
+       tool, COUNT(*) AS turns
+FROM transcripts WHERE tool IS NOT NULL
+GROUP BY 1,2,3
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "turns_enriched": _TURNS_ENRICHED_SQL,
+        "sessions": _W + sessions.session_oracle_sql("INTERVAL 8 HOUR"),
+        "tool_rate_1m": _W + rollups.rate_oracle_sql("tool", 1, "WHERE tool IS NOT NULL"),
+        "role_rate_1m": _W + rollups.rate_oracle_sql("role", 1),
+        "tool_rate_5m_sliding": _W
+        + rollups.sliding_oracle_sql("tool", 5, 1, "WHERE tool IS NOT NULL"),
+        "turn_pairs": _W + pairs.PAIRS_ORACLE_SQL,
+        "compact_last_state": _W + state.COMPACT_ORACLE_SQL,
+        "asof_last_tool": _W + state.ASOF_ORACLE_SQL,
+        "initiating_user": _W + state.INITIATOR_ORACLE_SQL,
+        "dim_tools": _W + dims.DIM_TOOLS_ORACLE_SQL,
+        "explode_tokens": _W + dims.EXPLODE_ORACLE_SQL,
+        "top_convs": _W + dims.TOP_CONVS_ORACLE_SQL,
+        "turn_range_from_times": _RANGE_SQL,
+        "transform_stats": _STATS_SQL,
+        "salted_tool_rate": _SALTED_SQL,
+    }

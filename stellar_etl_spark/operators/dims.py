@@ -1,0 +1,92 @@
+"""Dimension dedup + one-to-many expansion — star-schema analogs.
+
+Reference analogs:
+  * asset/orderbook dedup via seen-hash maps
+    (/root/reference/cmd/export_assets.go:40-58,
+    internal/input/orderbooks.go:72-118) -> groupBy/dropDuplicates;
+    surrogate keys were FNV/FarmHash
+    (internal/transform/offer_normalized.go:108-178, asset.go:72-77)
+    -> xxhash64 (or a portable rank where cross-engine parity matters).
+  * TransformSigners one-account->N-signers explode + weight sort
+    (internal/transform/account_signer.go:14-55) -> explode + array_sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dim_tools(df: DataFrame) -> DataFrame:
+    """Dedup'd tool dimension: first-seen timestamp + usage count.
+
+    tool_id is a rank (portable across engines); production would use
+    F.xxhash64("tool") — both are deterministic pure functions of the
+    key, never sequence generators."""
+    agg = (
+        df.filter(F.col("tool").isNotNull())
+        .groupBy("tool")
+        .agg(
+            F.min("ts").alias("first_seen_ts"),
+            F.count(F.lit(1)).cast("long").alias("uses"),
+        )
+    )
+    w = Window.orderBy("tool")
+    return agg.select(
+        F.row_number().over(w).cast("long").alias("tool_id"),
+        "tool",
+        "first_seen_ts",
+        "uses",
+    )
+
+
+DIM_TOOLS_ORACLE_SQL = """
+    SELECT ROW_NUMBER() OVER (ORDER BY tool) AS tool_id,
+           tool,
+           MIN(ts) AS first_seen_ts,
+           COUNT(*) AS uses
+    FROM transcripts WHERE tool IS NOT NULL
+    GROUP BY tool
+"""
+
+
+def explode_tokens(df: DataFrame) -> DataFrame:
+    """One turn -> N token rows (UDTF analog); token position preserved
+    (the claimOrder/effect-index pattern, SURVEY §2.5 W2/W3)."""
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.split("text", r"\|")).alias("token_pos", "token"),
+    ).filter(F.col("token") != "")
+
+
+EXPLODE_ORACLE_SQL = """
+    SELECT conv_id, turn_idx,
+           CAST(u.pos - 1 AS INT) AS token_pos,
+           u.tok AS token
+    FROM transcripts,
+         LATERAL (SELECT UNNEST(string_split(text, '|')) AS tok,
+                         generate_subscripts(string_split(text, '|'), 1) AS pos) u
+    WHERE u.tok <> ''
+"""
+
+
+def top_convs(df: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k conversations by turn count (limit/early-exit analog, L1;
+    deterministic tie-break on conv_id)."""
+    return (
+        df.groupBy("conv_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("turn_count"))
+        .orderBy(F.desc("turn_count"), "conv_id")
+        .limit(k)
+    )
+
+
+TOP_CONVS_ORACLE_SQL = """
+    SELECT conv_id, COUNT(*) AS turn_count
+    FROM transcripts
+    GROUP BY conv_id
+    ORDER BY turn_count DESC, conv_id
+    LIMIT 10
+"""

@@ -1,0 +1,96 @@
+"""User-turn ↔ response matching — the tx↔result alignment analog (J1).
+
+The reference zips transactions[i] with results[i] inside one ledger
+(/root/reference/internal/transform/ledger.go:133-166) — a positional
+1:1 join that exists only because its input is pre-aligned. In a
+transcript stream nothing is pre-aligned: a user turn's response is
+*the next turn in the same conversation with role != 'user'*, which at
+scale is a stateful stream-stream join.
+
+Batch form (this module): a window-function match — no join at all,
+one shuffle on conv_id, then lead()/first() within the partition.
+Streaming form: stellar_etl_spark/streaming/matcher.py
+(applyInPandasWithState with watermark-driven eviction) — proven equal
+to this batch form on the same input in tests.
+
+Output (FIXTURES.md §2.4): one row per user turn with its response
+turn (or nulls + evicted_unmatched=true when no response exists).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stellar_etl_spark.config import DEFAULT, EngineConfig
+
+
+def match_pairs(df: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """For each user turn, the first following non-user turn before the
+    next user turn (responses don't leak across user turns)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    fwd = w.rowsBetween(1, Window.unboundedFollowing)
+
+    resp = F.first(
+        F.when(
+            F.col("role") != "user",
+            F.struct("turn_idx", "role", "tool", "ts"),
+        ),
+        ignorenulls=True,
+    ).over(fwd)
+    next_user = F.first(
+        F.when(F.col("role") == "user", F.col("turn_idx")), ignorenulls=True
+    ).over(fwd)
+
+    annotated = (
+        df.withColumn("resp", resp)
+        .withColumn("next_user_idx", next_user)
+        .filter(F.col("role") == "user")
+    )
+    valid = F.col("resp").isNotNull() & (
+        F.col("next_user_idx").isNull()
+        | (F.col("resp.turn_idx") < F.col("next_user_idx"))
+    )
+    return annotated.select(
+        "conv_id",
+        F.col("turn_idx").alias("user_turn_idx"),
+        F.when(valid, F.col("resp.turn_idx")).alias("response_turn_idx"),
+        F.when(valid, F.col("resp.role")).alias("response_role"),
+        F.when(valid, F.col("resp.tool")).alias("response_tool"),
+        F.when(valid, F.col("resp.ts").cast("double") - F.col("ts").cast("double")).alias(
+            "latency_s"
+        ),
+        (~valid).alias("evicted_unmatched"),
+    )
+
+
+PAIRS_ORACLE_SQL = """
+    , marked AS (
+      SELECT conv_id, turn_idx, role, tool, ts,
+        MIN(CASE WHEN role <> 'user' THEN turn_idx END)
+          OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS resp_idx,
+        MIN(CASE WHEN role = 'user' THEN turn_idx END)
+          OVER (PARTITION BY conv_id ORDER BY turn_idx
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_user_idx
+      FROM transcripts
+    ), users AS (
+      SELECT m.conv_id, m.turn_idx AS user_turn_idx, m.ts AS user_ts,
+             CASE WHEN m.resp_idx IS NOT NULL
+                   AND (m.next_user_idx IS NULL OR m.resp_idx < m.next_user_idx)
+                  THEN m.resp_idx END AS response_turn_idx
+      FROM marked m WHERE m.role = 'user'
+    )
+    SELECT u.conv_id,
+           u.user_turn_idx,
+           u.response_turn_idx,
+           r.role AS response_role,
+           r.tool AS response_tool,
+           CASE WHEN u.response_turn_idx IS NOT NULL
+                THEN epoch(r.ts) - epoch(u.user_ts) END AS latency_s,
+           u.response_turn_idx IS NULL AS evicted_unmatched
+    FROM users u
+    LEFT JOIN transcripts r
+      ON r.conv_id = u.conv_id AND r.turn_idx = u.response_turn_idx
+"""

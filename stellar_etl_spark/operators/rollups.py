@@ -1,0 +1,103 @@
+"""Tumbling / sliding turn-rate rollups — the export_X family analog.
+
+Each reference export command produces one output table per run
+(export_ledgers, export_operations, ...; dispatch at
+/root/reference/cmd/export_ledger_entry_changes.go:90-109). Our rollup
+family produces one rate table per (window kind, dimension):
+
+  tool_rate_1m / role_rate_1m        tumbling F.window(ts, 1 minute)
+  tool_rate_5m_sliding               sliding  F.window(ts, 5m, 1m)
+
+Counts: turns (rows) and convs (distinct conv_id). In streaming,
+count_distinct is replaced by approx_count_distinct or a two-level
+agg; batch keeps the exact count for oracle parity.
+
+Scale: tumbling aggs are map-side-combinable (partial agg before the
+shuffle — Spark does this automatically for hash aggregates); the
+sliding window replicates each row length/slide times *logically*
+without materializing copies (Spark expands windows in the generator
+node). Distinct counts force a second shuffle; at 100 TB prefer
+approx_count_distinct (HLL, mergeable) — exposed via exact=False.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stellar_etl_spark.config import DEFAULT, EngineConfig
+
+
+def _rate(df: DataFrame, dim: str, window_col, exact: bool, drop_null_dim: bool) -> DataFrame:
+    src = df.filter(F.col(dim).isNotNull()) if drop_null_dim else df
+    convs = (
+        F.count_distinct("conv_id") if exact else F.approx_count_distinct("conv_id")
+    ).cast("long").alias("convs")
+    return (
+        src.groupBy(window_col.alias("w"), dim)
+        .agg(F.count(F.lit(1)).cast("long").alias("turns"), convs)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            dim,
+            "turns",
+            "convs",
+        )
+    )
+
+
+def tool_rate(df: DataFrame, cfg: EngineConfig = DEFAULT, exact: bool = True) -> DataFrame:
+    """Per-tool turn rate, tumbling windows; tool turns only."""
+    return _rate(df, "tool", F.window("ts", cfg.tumbling), exact, drop_null_dim=True)
+
+
+def role_rate(df: DataFrame, cfg: EngineConfig = DEFAULT, exact: bool = True) -> DataFrame:
+    """Per-role turn rate, tumbling windows."""
+    return _rate(df, "role", F.window("ts", cfg.tumbling), exact, drop_null_dim=False)
+
+
+def tool_rate_sliding(df: DataFrame, cfg: EngineConfig = DEFAULT, exact: bool = True) -> DataFrame:
+    """Per-tool rate over sliding windows (length/slide from cfg)."""
+    return _rate(
+        df,
+        "tool",
+        F.window("ts", cfg.sliding_length, cfg.sliding_slide),
+        exact,
+        drop_null_dim=True,
+    )
+
+
+def rate_oracle_sql(dim: str, minutes: int = 1, where: str = "") -> str:
+    """Tumbling-window oracle: epoch-aligned buckets identical to
+    Spark's F.window (origin 1970-01-01)."""
+    return f"""
+    SELECT
+      to_timestamp(floor(epoch(ts) / {minutes * 60}) * {minutes * 60})::TIMESTAMP AS window_start,
+      to_timestamp(floor(epoch(ts) / {minutes * 60}) * {minutes * 60} + {minutes * 60})::TIMESTAMP AS window_end,
+      {dim},
+      COUNT(*) AS turns,
+      COUNT(DISTINCT conv_id) AS convs
+    FROM transcripts
+    {where}
+    GROUP BY 1, 2, 3
+    """
+
+
+def sliding_oracle_sql(dim: str, length_min: int = 5, slide_min: int = 1, where: str = "") -> str:
+    """Sliding-window oracle: each row contributes to length/slide
+    windows, generated via an unnested offset series."""
+    k = length_min // slide_min
+    return f"""
+    SELECT
+      to_timestamp(floor(epoch(ts) / {slide_min * 60}) * {slide_min * 60}
+                   - off.k * {slide_min * 60})::TIMESTAMP AS window_start,
+      to_timestamp(floor(epoch(ts) / {slide_min * 60}) * {slide_min * 60}
+                   - off.k * {slide_min * 60} + {length_min * 60})::TIMESTAMP AS window_end,
+      {dim},
+      COUNT(*) AS turns,
+      COUNT(DISTINCT conv_id) AS convs
+    FROM transcripts
+    CROSS JOIN (SELECT UNNEST(range({k})) AS k) off
+    {where}
+    GROUP BY 1, 2, 3
+    """

@@ -100,7 +100,11 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by days(ts), bucketed by conv_id) and this derivation
     disappears; it exists so correctness oracles share the input.
     """
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # normalize NTZ parquet timestamps to TimestampType (session TZ is
+    # UTC, so instants are unchanged); watermarks/windows need it
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
 
     role = (
