@@ -26,7 +26,14 @@ from stellar_etl_spark.sources.transcripts import TRANSCRIPTS_CTE, load_transcri
 
 CFG = EngineConfig()
 
-_T = lambda spark, sf_dir: load_transcripts(spark, sf_dir)  # noqa: E731
+
+def _T(spark, sf_dir):
+    # harness sessions aren't built by get_spark(): ship the package to
+    # Python workers (the --py-files equivalent) before any UDF runs
+    from stellar_etl_spark.deploy import ship_package
+
+    ship_package(spark)
+    return load_transcripts(spark, sf_dir)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -33,15 +33,19 @@ from pyspark.sql.window import Window
 
 from stellar_etl_spark.config import DEFAULT, EngineConfig
 
-_AGGS = lambda: [  # noqa: E731
-    F.count(F.lit(1)).cast("long").alias("turn_count"),
-    F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).cast("long").alias("user_turns"),
-    F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).cast("long").alias("assistant_turns"),
-    F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).cast("long").alias("tool_turns"),
-    F.count_distinct(F.col("tool")).cast("long").alias("distinct_tools"),
-    F.min("turn_idx").alias("first_turn_idx"),
-    F.max("turn_idx").alias("last_turn_idx"),
-]
+def _aggs(exact: bool = True):
+    # streaming disallows exact distinct aggs; HLL sketch is the
+    # mergeable scale path anyway (SURVEY §2.4 note)
+    distinct = F.count_distinct(F.col("tool")) if exact else F.approx_count_distinct("tool")
+    return [
+        F.count(F.lit(1)).cast("long").alias("turn_count"),
+        F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).cast("long").alias("user_turns"),
+        F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).cast("long").alias("assistant_turns"),
+        F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).cast("long").alias("tool_turns"),
+        distinct.cast("long").alias("distinct_tools"),
+        F.min("turn_idx").alias("first_turn_idx"),
+        F.max("turn_idx").alias("last_turn_idx"),
+    ]
 
 
 def sessionize(df: DataFrame, cfg: EngineConfig = DEFAULT, watermark: bool = False) -> DataFrame:
@@ -52,7 +56,7 @@ def sessionize(df: DataFrame, cfg: EngineConfig = DEFAULT, watermark: bool = Fal
     src = df.withWatermark("ts", cfg.watermark_delay) if watermark else df
     return (
         src.groupBy(F.session_window("ts", cfg.session_gap), "conv_id")
-        .agg(*_AGGS())
+        .agg(*_aggs(exact=not watermark))
         .select(
             "conv_id",
             F.col("session_window.start").alias("session_start"),
@@ -89,7 +93,7 @@ def sessionize_islands(df: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
         .agg(
             F.min("ts").alias("session_start"),
             (F.max("ts") + gap).alias("session_end"),
-            *_AGGS(),
+            *_aggs(),
         )
         .drop("session_ord")
         .select(

@@ -41,4 +41,7 @@ def get_spark(cfg: EngineConfig = DEFAULT, app_name: str = "stellar_etl_spark") 
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from stellar_etl_spark.deploy import ship_package
+
+    ship_package(spark)  # --py-files equivalent: workers can import us
     return spark

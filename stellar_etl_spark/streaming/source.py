@@ -1,0 +1,61 @@
+"""Streaming source: an append-only transcript stream.
+
+The reference's streaming mode polls GCS for the next sequential
+ledger file and feeds fixed 64-ledger batches over a channel
+(/root/reference/internal/input/changes.go:107-178). Our source is a
+Structured Streaming file source over a parquet directory with an
+explicit schema (never inferred) and bounded per-trigger intake
+(maxFilesPerTrigger ≈ the reference's --batch-size); on a real
+deployment this is `spark.readStream.format("iceberg")` on the
+transcripts table — the rest of the pipeline is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# file-source schema: ts as NTZ to match parquet-at-rest, cast on read
+_RAW = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampNTZType(), False),
+    ]
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = 2,
+    with_lineage: bool = True,
+) -> DataFrame:
+    """readStream over a transcript parquet dir.
+
+    with_lineage exposes `_source_file` from the hidden `_metadata`
+    column — per-partition lineage (which input files fed which epoch)
+    rides along to the sink manifest for free, no extra scan.
+    """
+    reader = spark.readStream.schema(_RAW)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
+    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if with_lineage:
+        df = df.withColumn("_source_file", F.col("_metadata.file_path"))
+    return df
+
+
+def read_transcript_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of the same directory (for batch==streaming equality
+    tests — the golden determinism gate in SURVEY §5)."""
+    return (
+        spark.read.schema(_RAW)
+        .parquet(path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )

@@ -1,0 +1,202 @@
+"""Streaming semantics: batch==streaming equality under one watermark,
+stateful matcher parity, exactly-once resume, sink idempotence.
+
+These are the engine's recast of the reference's golden determinism
+gate (same input + watermark => identical rows, SURVEY §5) and the
+"overlapping batches cause duplicate loads" invariant
+(/root/reference/internal/input/changes.go:171-173), made structural.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from stellar_etl_spark.config import EngineConfig
+from stellar_etl_spark.operators import pairs as batch_pairs
+from stellar_etl_spark.operators import rollups, sessions
+from stellar_etl_spark.sources.generator import write_transcripts
+from stellar_etl_spark.streaming.matcher import match_pairs_stream
+from stellar_etl_spark.streaming.metrics import EngineQueryListener
+from stellar_etl_spark.streaming.pipeline import start_fanout, start_windowed
+from stellar_etl_spark.streaming.sink import EpochCommitSink
+from stellar_etl_spark.streaming.source import (
+    read_transcript_batch,
+    read_transcript_stream,
+)
+
+CFG = EngineConfig(session_gap="30 minutes", watermark_delay="10 minutes")
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("transcripts"))
+    n = write_transcripts(d, n_convs=150, n_files=6, seed=42)
+    assert n > 300
+    return d
+
+
+def _rows(df, cols=None):
+    cols = cols or df.columns
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def _final_watermark(spark, data_dir, delay_s=600):
+    """The watermark Spark reaches after draining the input: max event
+    time floored to ms, minus the delay (progress events are async, so
+    the listener can't be trusted for the *final* value)."""
+    import datetime
+
+    max_ts = read_transcript_batch(spark, data_dir).agg(F.max("ts")).first()[0]
+    ms = max_ts.replace(microsecond=(max_ts.microsecond // 1000) * 1000)
+    return ms - datetime.timedelta(seconds=delay_s)
+
+
+def test_stream_tool_rate_equals_batch(spark, data_dir, tmp_path):
+    listener = EngineQueryListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = read_transcript_stream(spark, data_dir, max_files_per_trigger=2,
+                                        with_lineage=False)
+        agg = rollups.tool_rate(
+            stream.withWatermark("ts", CFG.watermark_delay), CFG, exact=False
+        )
+        q = start_windowed(agg, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+                           "tool_rate", query_name="t_rate")
+        q.awaitTermination(300)
+    finally:
+        spark.streams.removeListener(listener)
+
+    wm = _final_watermark(spark, data_dir)
+    got = EpochCommitSink(str(tmp_path / "sink")).read_table(spark, "tool_rate")
+    batch = rollups.tool_rate(read_transcript_batch(spark, data_dir), CFG, exact=False)
+    expected = batch.filter(F.col("window_end") <= F.lit(wm))
+    cols = ["window_start", "window_end", "tool", "turns"]
+    assert _rows(got, cols) == _rows(expected, cols)
+    assert len(_rows(got, cols)) > 0
+
+
+def test_stream_sessions_equal_batch(spark, data_dir, tmp_path):
+    listener = EngineQueryListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = read_transcript_stream(spark, data_dir, max_files_per_trigger=3,
+                                        with_lineage=False)
+        agg = sessions.sessionize(stream, CFG, watermark=True)
+        q = start_windowed(agg, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+                           "sessions", query_name="t_sessions")
+        q.awaitTermination(300)
+    finally:
+        spark.streams.removeListener(listener)
+
+    wm = _final_watermark(spark, data_dir)
+    got = EpochCommitSink(str(tmp_path / "sink")).read_table(spark, "sessions")
+    batch = sessions.sessionize(read_transcript_batch(spark, data_dir), CFG)
+    expected = batch.filter(F.col("session_end") <= F.lit(wm))
+    cols = ["conv_id", "session_start", "session_end", "turn_count",
+            "user_turns", "assistant_turns", "tool_turns"]
+    assert _rows(got, cols) == _rows(expected, cols)
+    assert len(_rows(got, cols)) > 0
+
+
+def test_matcher_stream_equals_batch(spark, data_dir, tmp_path):
+    listener = EngineQueryListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = read_transcript_stream(spark, data_dir, max_files_per_trigger=2,
+                                        with_lineage=False)
+        matched = match_pairs_stream(stream, CFG)
+        q = start_windowed(matched, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+                           "turn_pairs", query_name="t_pairs", output_mode="append")
+        q.awaitTermination(300)
+    finally:
+        spark.streams.removeListener(listener)
+
+    got = EpochCommitSink(str(tmp_path / "sink")).read_table(spark, "turn_pairs")
+    batch = batch_pairs.match_pairs(read_transcript_batch(spark, data_dir), CFG)
+
+    cols = ["conv_id", "user_turn_idx", "response_turn_idx", "response_role",
+            "response_tool", "evicted_unmatched"]
+    got_matched = _rows(got.filter(~F.col("evicted_unmatched")), cols)
+    batch_matched = _rows(batch.filter(~F.col("evicted_unmatched")), cols)
+    assert got_matched == batch_matched
+    assert len(got_matched) > 100
+
+    # latencies agree too (6dp)
+    gl = _rows(got.filter(~F.col("evicted_unmatched"))
+               .select("conv_id", "user_turn_idx", F.round("latency_s", 6).alias("l")))
+    bl = _rows(batch.filter(~F.col("evicted_unmatched"))
+               .select("conv_id", "user_turn_idx", F.round("latency_s", 6).alias("l")))
+    assert gl == bl
+
+    # streamed evictions are a subset of batch unmatched rows
+    got_un = set(_rows(got.filter(F.col("evicted_unmatched")), ["conv_id", "user_turn_idx"]))
+    batch_un = set(_rows(batch.filter(F.col("evicted_unmatched")), ["conv_id", "user_turn_idx"]))
+    assert got_un <= batch_un
+
+
+def test_exactly_once_resume(spark, data_dir, tmp_path):
+    """Kill mid-stream, restart from checkpoint: no dupes, no gaps —
+    the structural form of the reference's non-overlap invariant."""
+    sink_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    transforms = {"turns": lambda df: df}
+
+    # phase 1: process only part of the input (2 files), then stop
+    s1 = read_transcript_stream(spark, data_dir, max_files_per_trigger=1)
+    q1 = (
+        s1.writeStream.queryName("phase1")
+        .foreachBatch(
+            __import__("stellar_etl_spark.streaming.sink", fromlist=["x"]).foreach_batch_writer(
+                EpochCommitSink(sink_root), transforms
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    import time
+
+    while len(EpochCommitSink(sink_root).committed_epochs()) < 2:
+        time.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    n_before = len(EpochCommitSink(sink_root).committed_epochs())
+    assert n_before >= 2
+
+    # phase 2: resume from the same checkpoint, drain the rest
+    s2 = read_transcript_stream(spark, data_dir, max_files_per_trigger=1)
+    q2 = start_fanout(s2, sink_root, ckpt, transforms, available_now=True,
+                      query_name="phase2")
+    q2.awaitTermination(300)
+
+    sink = EpochCommitSink(sink_root)
+    got = sink.read_table(spark, "turns").select("conv_id", "turn_idx")
+    exp = read_transcript_batch(spark, data_dir).select("conv_id", "turn_idx")
+    assert got.count() == exp.count()  # no dupes
+    assert got.distinct().count() == exp.distinct().count()
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+    # lineage captured per epoch
+    import json
+
+    manifests = [
+        json.load(open(os.path.join(sink_root, "_commits", f"{e:020d}.json")))
+        for e in sink.committed_epochs()
+    ]
+    assert all("partitions" in m["lineage"] for m in manifests)
+    files = [f for m in manifests for f in m["lineage"].get("input_files", [])]
+    assert len(set(files)) == 6  # every input file accounted for exactly once
+    assert len(files) == len(set(files))
+
+
+def test_sink_idempotent_epoch(spark, tmp_path):
+    sink = EpochCommitSink(str(tmp_path / "s"))
+    df = spark.range(5).toDF("x")
+    assert sink.write_epoch(7, {"t": df}) is True
+    assert sink.write_epoch(7, {"t": spark.range(500).toDF("x")}) is False  # replay: no-op
+    assert sink.read_table(spark, "t").count() == 5
