@@ -20,6 +20,11 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from stellar_etl_spark.config import EngineConfig
+from stellar_etl_spark.functions import corpus as fcorpus
+from stellar_etl_spark.functions import dedup as fdedup
+from stellar_etl_spark.functions import multimodal as fmm
+from stellar_etl_spark.functions import similarity as fsim
+from stellar_etl_spark.functions import text as ftext
 from stellar_etl_spark.operators import dims, pairs, rollups, sessions, skew, state
 from stellar_etl_spark.operators.enrich import enrich_turns
 from stellar_etl_spark.sources.transcripts import TRANSCRIPTS_CTE, load_transcripts
@@ -122,6 +127,63 @@ def _q_salted_tool_rate(spark, sf):
     return skew.salted_windowed_tool_counts(_T(spark, sf))
 
 
+# --- training-data pipeline queries (documents/embeddings tables) ---------
+
+def _C(spark, sf):
+    from stellar_etl_spark.deploy import ship_package
+
+    ship_package(spark)
+    return fcorpus.load_corpus(spark, sf)
+
+
+def _q_doc_stats(spark, sf):
+    return ftext.doc_stats(_C(spark, sf))
+
+
+def _q_doc_lang_id(spark, sf):
+    return ftext.lang_id(_C(spark, sf))
+
+
+def _q_doc_fingerprint(spark, sf):
+    return ftext.fingerprint(_C(spark, sf))
+
+
+def _q_dedup_exact(spark, sf):
+    return fdedup.exact_dedup(_C(spark, sf))
+
+
+def _q_dedup_minhash(spark, sf):
+    return fdedup.minhash_lsh_dedup(_C(spark, sf))
+
+
+def _q_dedup_simhash(spark, sf):
+    return fdedup.simhash_dedup(_C(spark, sf))
+
+
+def _q_dedup_ngram(spark, sf):
+    return fdedup.ngram_jaccard_dedup(_C(spark, sf))
+
+
+def _q_dedup_embedding(spark, sf):
+    return fdedup.embedding_dup_pairs(fdedup.load_emb_corpus(spark, sf))
+
+
+def _q_ann_brute(spark, sf):
+    return fsim.ann_bruteforce(fcorpus.load_embeddings(spark, sf))
+
+
+def _q_ann_lsh(spark, sf):
+    return fsim.ann_lsh(fcorpus.load_embeddings(spark, sf))
+
+
+def _q_multimodal_meta(spark, sf):
+    return fmm.decode_metadata(_C(spark, sf))
+
+
+def _q_multimodal_frames(spark, sf):
+    return fmm.frame_sample(_C(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_enriched": _q_turns_enriched,
@@ -139,6 +201,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_range_from_times": _q_turn_range_from_times,
         "transform_stats": _q_transform_stats,
         "salted_tool_rate": _q_salted_tool_rate,
+        # training-data pipeline ops (documents/embeddings)
+        "doc_stats": _q_doc_stats,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_embedding": _q_dedup_embedding,
+        "ann_topk_brute": _q_ann_brute,
+        "ann_topk_lsh": _q_ann_lsh,
+        "multimodal_meta": _q_multimodal_meta,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 
@@ -194,4 +269,17 @@ def oracle_sql() -> dict[str, str]:
         "turn_range_from_times": _RANGE_SQL,
         "transform_stats": _STATS_SQL,
         "salted_tool_rate": _SALTED_SQL,
+        # training-data pipeline oracles
+        "doc_stats": ftext.doc_stats_oracle(fcorpus.CORPUS_CTE),
+        "doc_lang_id": ftext.lang_id_oracle(fcorpus.CORPUS_CTE),
+        "doc_fingerprint": ftext.fingerprint_oracle(fcorpus.CORPUS_CTE),
+        "dedup_exact": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
+        "dedup_minhash_lsh": fdedup.minhash_lsh_oracle(fcorpus.CORPUS_CTE),
+        "dedup_simhash": fdedup.simhash_oracle(fcorpus.CORPUS_CTE),
+        "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
+        "dedup_embedding": fdedup.embedding_dup_oracle(),
+        "ann_topk_brute": fsim.ann_bruteforce_oracle(fcorpus.EMB_CTE),
+        "ann_topk_lsh": fsim.ann_lsh_oracle(fcorpus.EMB_CTE),
+        "multimodal_meta": fmm.decode_metadata_oracle(fcorpus.CORPUS_CTE),
+        "multimodal_frames": fmm.frame_sample_oracle(fcorpus.CORPUS_CTE),
     }

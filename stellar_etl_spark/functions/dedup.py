@@ -1,0 +1,377 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine near-dup.
+
+Reference analog: the seen-hash dedup maps (/root/reference/cmd/
+export_assets.go:40-58, internal/input/orderbooks.go:72-118) scale to
+a single process; these are their distributed counterparts. All
+signatures are deterministic portable hashes (`hashing.py`), so each
+operator has an exact DuckDB value oracle.
+
+Scale notes (100 TB):
+* signature computation is a narrow map (no shuffle, codegen);
+* candidate generation shuffles ONLY on (band/bucket key) — pairs are
+  generated per bucket, never all-pairs; hot buckets are bounded by a
+  document-frequency cap (`DF_CAP`) exactly where a naive inverted
+  index would quadratically explode on stop-shingles;
+* verification joins are equi-joins on doc_id — sort-merge/AQE territory,
+  and the per-doc signature side is orders of magnitude smaller than
+  the corpus (column-pruned to (doc_id, hashes)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import hashing as H
+
+MINHASH_JACCARD_T = 0.35
+NGRAM_JACCARD_T = 0.3
+SIMHASH_MAX_HAMMING = 3
+COSINE_DUP_T = 0.98
+DF_CAP = 50  # drop shingles present in more docs (stop-shingles)
+
+
+def _norm_expr(spark: bool) -> str:
+    tok = H.tokens("text", spark)
+    join = "concat_ws(' ', " + tok + ")" if spark else f"array_to_string({tok}, ' ')"
+    return join
+
+
+def _hashes_expr(spark: bool) -> str:
+    """Distinct 3-gram shingle hashes of `text` -> ARRAY<BIGINT>."""
+    tok = H.tokens("text", spark)
+    sh = H.shingles(tok, 3, spark)
+    arr = H.hash_array(sh, spark)
+    return f"array_distinct({arr})" if spark else f"list_distinct({arr})"
+
+
+# --- 1. exact dedup --------------------------------------------------------
+
+def exact_dedup(corpus: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup on the normalized-text fingerprint:
+    every doc mapped to its group's canonical (min) doc_id."""
+    fp = F.expr(H.char_hash(_norm_expr(True), spark=True))
+    df = corpus.select("doc_id", fp.alias("fp64"))
+    w = Window.partitionBy("fp64")
+    return df.select(
+        "doc_id",
+        "fp64",
+        F.min("doc_id").over(w).cast("long").alias("keep_doc_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_copies"),
+    )
+
+
+def exact_dedup_oracle(corpus_cte: str) -> str:
+    fp = H.char_hash(_norm_expr(False), spark=False)
+    return f"""WITH {corpus_cte},
+fps AS (SELECT doc_id, {fp} AS fp64 FROM corpus)
+SELECT doc_id, fp64,
+       MIN(doc_id) OVER (PARTITION BY fp64) AS keep_doc_id,
+       COUNT(*) OVER (PARTITION BY fp64) AS n_copies
+FROM fps
+"""
+
+
+# --- 2. MinHash + LSH ------------------------------------------------------
+
+def minhash_lsh_dedup(corpus: DataFrame) -> DataFrame:
+    """MinHash (k=16) + banded LSH (4 bands x 4 rows) candidate
+    generation, then exact Jaccard verification on distinct shingle
+    sets; emits pairs with jaccard >= 0.35."""
+    sig_exprs = ", ".join(H.minhash_sig("hs", i, spark=True) for i in range(H.MINHASH_K))
+    docs = (
+        corpus.select("doc_id", F.expr(_hashes_expr(True)).alias("hs"))
+        .filter(F.size("hs") > 0)
+        .withColumn("sig", F.expr(f"array({sig_exprs})"))
+    )
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_idx"),
+            F.concat_ws(
+                ":",
+                *[
+                    F.element_at("sig", j * H.MINHASH_ROWS + r + 1).cast("string")
+                    for r in range(H.MINHASH_ROWS)
+                ],
+            ).alias("band_key"),
+        )
+        for j in range(H.MINHASH_BANDS)
+    ]
+    bands = docs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_key")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ha = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hb = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    return (
+        pairs.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("hs_a", "hs_b")).cast("long"))
+        .withColumn(
+            "jaccard",
+            F.expr("cast(inter as double) / (size(hs_a) + size(hs_b) - inter)"),
+        )
+        .filter(F.col("jaccard") >= MINHASH_JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_lsh_oracle(corpus_cte: str) -> str:
+    hs = _hashes_expr(False)
+    sig = "[" + ", ".join(H.minhash_sig("hs", i, spark=False) for i in range(H.MINHASH_K)) + "]"
+    band_keys = " UNION ALL ".join(
+        f"""SELECT doc_id, {j} AS band_idx, """
+        + " || ':' || ".join(
+            f"CAST(sig[{j * H.MINHASH_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(H.MINHASH_ROWS)
+        )
+        + " AS band_key FROM sigs"
+        for j in range(H.MINHASH_BANDS)
+    )
+    return f"""WITH {corpus_cte},
+hsets AS (SELECT doc_id, {hs} AS hs FROM corpus),
+hnon AS (SELECT * FROM hsets WHERE len(hs) > 0),
+sigs AS (SELECT doc_id, hs, {sig} AS sig FROM hnon),
+bands AS ({band_keys}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT p.doc_a, p.doc_b,
+         CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE)
+         / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs))) AS jaccard
+  FROM pairs p
+  JOIN hnon ha ON ha.doc_id = p.doc_a
+  JOIN hnon hb ON hb.doc_id = p.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {MINHASH_JACCARD_T}
+"""
+
+
+# --- 3. SimHash ------------------------------------------------------------
+
+def simhash_dedup(corpus: DataFrame) -> DataFrame:
+    """30-bit SimHash over token hashes (frequency-weighted), 3x10-bit
+    band LSH, pairs at Hamming distance <= 3."""
+    tok = H.tokens("text", spark=True)
+    toks = corpus.select(
+        "doc_id", F.explode(F.expr(H.hash_array(tok, spark=True))).alias("h")
+    )
+    bit_sums = [
+        F.sum(F.expr(f"2L * ((h div {2 ** j}L) % 2L) - 1L")).alias(f"s{j}")
+        for j in range(H.SIMHASH_BITS)
+    ]
+    sim = toks.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for j in range(H.SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    sim = sim.select("doc_id", simhash.alias("simhash"))
+
+    shift = 2 ** H.SIMHASH_BAND_BITS
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.expr(f"(simhash div {shift ** j}L) % {shift}L").alias("band_val"),
+                    )
+                    for j in range(H.SIMHASH_BITS // H.SIMHASH_BAND_BITS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+def simhash_oracle(corpus_cte: str) -> str:
+    tok = H.tokens("text", spark=False)
+    harr = H.hash_array(tok, spark=False)
+    bit_sums = ",\n         ".join(
+        f"SUM(2 * ((h // {2 ** j}) % 2) - 1) AS s{j}" for j in range(H.SIMHASH_BITS)
+    )
+    simhash = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(H.SIMHASH_BITS)
+    )
+    shift = 2 ** H.SIMHASH_BAND_BITS
+    n_bands = H.SIMHASH_BITS // H.SIMHASH_BAND_BITS
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS band_idx, (simhash // {shift ** j}) % {shift} AS band_val FROM sims"
+        for j in range(n_bands)
+    )
+    return f"""WITH {corpus_cte},
+toks AS (SELECT doc_id, UNNEST({harr}) AS h FROM corpus),
+sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
+sims AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM sums),
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+# --- 4. n-gram Jaccard (inverted index) ------------------------------------
+
+def ngram_jaccard_dedup(corpus: DataFrame) -> DataFrame:
+    """All-pairs Jaccard >= 0.3 via shingle inverted index with a
+    document-frequency cap: shingles present in >DF_CAP docs (or only
+    one doc) are dropped before pair generation — the standard guard
+    against quadratic blowup on stop-shingles at scale."""
+    docs = (
+        corpus.select("doc_id", F.expr(_hashes_expr(True)).alias("hs"))
+        .filter(F.size("hs") > 0)
+    )
+    ex = docs.select("doc_id", F.explode("hs").alias("h"))
+    dfh = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfh.filter((F.col("df") >= 2) & (F.col("df") <= DF_CAP)).select("h")
+    exk = ex.join(keep, "h")
+
+    a, b = exk.alias("a"), exk.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.size("hs").alias("sz_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.size("hs").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.expr("cast(inter as double) / (sz_a + sz_b - inter)"))
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_T)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_oracle(corpus_cte: str) -> str:
+    hs = _hashes_expr(False)
+    return f"""WITH {corpus_cte},
+hsets AS (SELECT doc_id, {hs} AS hs FROM corpus),
+hnon AS (SELECT * FROM hsets WHERE len(hs) > 0),
+ex AS (SELECT doc_id, UNNEST(hs) AS h FROM hnon),
+dfh AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {DF_CAP}),
+exk AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfh ON ex.h = dfh.h),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.inter AS DOUBLE) / (len(ha.hs) + len(hb.hs) - i.inter) AS jaccard
+FROM inter i
+JOIN hnon ha ON ha.doc_id = i.doc_a
+JOIN hnon hb ON hb.doc_id = i.doc_b
+WHERE CAST(i.inter AS DOUBLE) / (len(ha.hs) + len(hb.hs) - i.inter) >= {NGRAM_JACCARD_T}
+"""
+
+
+# --- 5. embedding cosine near-dup ------------------------------------------
+
+# Deterministic perturbed variants so near-dup pairs exist in the
+# synthetic table: vec_id%10==0 gains vec_id+10000 with a small
+# per-coordinate shift (exact same arithmetic in the oracle CTE).
+EMB_CORPUS_CTE = """
+embc AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(generate_series(1, 64),
+                        i -> CAST(embedding AS DOUBLE[])[i] + 0.01 * ((i % 5) - 2)) AS emb
+  FROM embeddings WHERE vec_id % 10 = 0
+)
+"""
+
+_SPARK_PERTURB = (
+    "transform(sequence(1, 64), i -> element_at(emb, i) + 0.01D * cast((i % 5) - 2 as double))"
+)
+
+
+def load_emb_corpus(spark, sf_dir: str) -> DataFrame:
+    base = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    pert = (
+        base.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.expr(_SPARK_PERTURB).alias("emb"),
+        )
+    )
+    return base.unionByName(pert)
+
+
+def embedding_dup_pairs(embc: DataFrame) -> DataFrame:
+    """Brute-force cosine near-dup pairs (cos >= 0.98). Baseline exact
+    variant; the LSH-bucketed scale path is similarity.ann_lsh —
+    at 100 TB the all-pairs join is replaced by the bucketed candidate
+    generation, with this operator as the per-bucket verifier."""
+    withn = embc.withColumn("nrm", F.expr(H.norm_fold("emb", spark=True)))
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"), F.col("nrm").alias("nb")
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cos_sim",
+            F.expr(f"{H.dot_fold('ea', 'eb', spark=True)} / (sqrt(na) * sqrt(nb))"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_DUP_T)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def embedding_dup_oracle() -> str:
+    dot = H.dot_fold("a.emb", "b.emb", spark=False)
+    nf = H.norm_fold("emb", spark=False)
+    return f"""WITH {EMB_CORPUS_CTE},
+nrms AS (SELECT vec_id, emb, {nf} AS nrm FROM embc)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({dot} / (sqrt(a.nrm) * sqrt(b.nrm)), 6) AS cos_sim
+FROM nrms a JOIN nrms b ON a.vec_id < b.vec_id
+WHERE {dot} / (sqrt(a.nrm) * sqrt(b.nrm)) >= {COSINE_DUP_T}
+"""

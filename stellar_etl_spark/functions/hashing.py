@@ -1,0 +1,136 @@
+"""Portable deterministic hashing — one definition, two SQL dialects.
+
+The reference mints every identity with deterministic hashes of the
+row content (FarmHash asset ids /root/reference/internal/transform/
+asset.go:72-77, FNV-1a surrogate keys offer_normalized.go:108-178,
+TOID packing internal/toid/main.go:139-157) precisely so outputs are
+reproducible across runs and engines. We follow the same rule for the
+training-data operators (MinHash, SimHash, fingerprints): the hash is
+a pure arithmetic function expressible in BOTH Spark SQL and DuckDB
+SQL, so the correctness oracle compares exact values, not just shapes.
+
+Core primitive: a character-level polynomial rolling hash
+
+    h(s) = fold_{c in s} (h * 31 + codepoint(c)) mod P,  P = 1e9+7
+
+computed with higher-order array functions (JVM codegen in Spark —
+``aggregate(split(...))`` — no Python in the hot path). All derived
+hashes (shingle hashes, MinHash permutations a*h+b mod P, SimHash bit
+sums) stay in int64 range: a,b,h < P ~ 2^30, so a*h < 2^60.
+
+Scale notes (100 TB): every expression here is a narrow per-row map —
+no shuffle, fully pipelined into the scan. Char-level folds cost
+O(len(text)) per row inside codegen; for a 100 TB corpus that is the
+same asymptotic cost as tokenizing, and it parallelizes linearly with
+executors (no driver involvement, no UDF serialization).
+"""
+
+from __future__ import annotations
+
+P = 1_000_000_007
+
+# MinHash: k permutations h_i(x) = (A[i]*x + B[i]) mod P over shingle
+# hashes; LSH banding b=16 bands x r=2 rows: collision threshold
+# (1/b)^(1/r) ~ 0.25, recall at jaccard 0.44 (a doc with every 7th
+# word removed) is 1-(1-0.44^2)^16 ~ 0.97. r=2 keeps false candidates
+# rare on shingle-sparse corpora; the exact-Jaccard verify stage
+# removes the rest.
+MINHASH_K = 32
+MINHASH_BANDS = 16
+MINHASH_ROWS = 2
+MINHASH_A = [(i * 2654435761 + 40503) % (P - 1) + 1 for i in range(MINHASH_K)]
+MINHASH_B = [(i * 998244353 + 12289) % P for i in range(MINHASH_K)]
+
+# SimHash: 30-bit signature (fits exact int arithmetic in both
+# dialects), 3 bands x 10 bits for candidate generation.
+SIMHASH_BITS = 30
+SIMHASH_BAND_BITS = 10
+
+# Random-hyperplane LSH for embeddings: N_PLANES planes over DIM dims,
+# components are a deterministic pseudo-random lattice in [-0.5, 0.5).
+EMB_DIM = 64
+N_PLANES = 8
+
+
+def lsh_plane(j: int, dim: int = EMB_DIM) -> list[float]:
+    return [(((j * dim + d) * 2654435761 + 1013904223) % 1000003) / 1000003.0 - 0.5
+            for d in range(dim)]
+
+
+# --- dialect expression builders -------------------------------------------
+# Each returns a SQL string; `spark=True` emits Spark SQL (for F.expr),
+# else DuckDB SQL. Identical arithmetic, identical fold order.
+
+def char_hash(e: str, spark: bool) -> str:
+    """Polynomial rolling hash of a string expression -> BIGINT in [0, P)."""
+    if spark:
+        return (f"aggregate(filter(split({e}, ''), c -> c <> ''), 0L, "
+                f"(acc, c) -> (acc * 31L + ascii(c)) % {P}L)")
+    return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(list_filter(string_split_regex({e}, ''), c -> c <> ''), "
+            f"c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % {P})")
+
+
+def tokens(e: str, spark: bool) -> str:
+    """Lower-cased whitespace tokens of a string expression -> ARRAY<STRING>."""
+    if spark:
+        return f"filter(split(lower(trim({e})), '\\\\s+'), t -> t <> '')"
+    return f"list_filter(string_split_regex(lower(trim({e})), '\\s+'), t -> t <> '')"
+
+
+def shingles(tok: str, n: int, spark: bool) -> str:
+    """Word n-gram shingle strings from a token-array expression."""
+    joins = " || ' ' || ".join(f"{tok}[i+{k}]" for k in range(n))
+    if spark:
+        el = ", ".join(f"element_at({tok}, i + {k})" for k in range(n))
+        return (f"CASE WHEN size({tok}) >= {n} THEN "
+                f"transform(sequence(1, size({tok}) - {n - 1}), i -> concat_ws(' ', {el})) "
+                f"ELSE CAST(array() AS array<string>) END")
+    return (f"CASE WHEN len({tok}) >= {n} THEN "
+            f"list_transform(generate_series(1, len({tok}) - {n - 1}), "
+            f"i -> {tok}[i]" + "".join(f" || ' ' || {tok}[i+{k}]" for k in range(1, n)) + ") "
+            f"ELSE []::VARCHAR[] END")
+
+
+def hash_array(arr: str, spark: bool) -> str:
+    """Element-wise char_hash over an ARRAY<STRING> expression."""
+    if spark:
+        return f"transform({arr}, s -> {char_hash('s', True)})"
+    return f"list_transform({arr}, s -> {char_hash('s', False)})"
+
+
+def minhash_sig(hashes: str, i: int, spark: bool) -> str:
+    """i-th MinHash value over an ARRAY<BIGINT> of shingle hashes."""
+    a, b = MINHASH_A[i], MINHASH_B[i]
+    if spark:
+        return f"array_min(transform({hashes}, h -> ({a}L * h + {b}L) % {P}L))"
+    return f"list_min(list_transform({hashes}, h -> ({a} * h + {b}) % {P}))"
+
+
+def dot_fold(a: str, b: str, spark: bool, dim: int = EMB_DIM) -> str:
+    """Sequential left-fold dot product of two ARRAY<DOUBLE> expressions.
+
+    Fold order is identical in both dialects, so the resulting double is
+    bit-identical — float comparisons in the oracle are exact, not
+    tolerance-based."""
+    if spark:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                f"cast(0 as double), (acc, v) -> acc + v)")
+    return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), i -> {a}[i] * {b}[i])), "
+            f"(acc, v) -> acc + v)")
+
+
+def plane_literal(j: int, spark: bool) -> str:
+    """The j-th LSH hyperplane as an ARRAY<DOUBLE> literal."""
+    vals = ", ".join(repr(v) + ("D" if spark else "") for v in lsh_plane(j))
+    return f"array({vals})" if spark else f"[{vals}]"
+
+
+def norm_fold(a: str, spark: bool, dim: int = EMB_DIM) -> str:
+    """Sequential left-fold sum of squares of an ARRAY<DOUBLE> expression."""
+    if spark:
+        return f"aggregate({a}, cast(0 as double), (acc, v) -> acc + v * v)"
+    return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), i -> {a}[i] * {a}[i])), "
+            f"(acc, v) -> acc + v)")

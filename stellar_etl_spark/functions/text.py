@@ -1,0 +1,169 @@
+"""Text analysis for training-data curation: token counting, quality
+scoring, language ID, document fingerprinting.
+
+Reference analog: the per-row Transform* projections (e.g.
+TransformTransaction's derived columns, /root/reference/internal/
+transform/transaction.go:20-301) — pure functions of one row producing
+typed derived columns. Here they are whole-stage-codegen Spark SQL
+expressions (no Python in the hot path), each with an exact DuckDB
+oracle built from the same `hashing.py` dialect builders.
+
+Scale notes: all four operators are narrow per-row maps — no shuffle,
+column-pruned to (doc_id, text) at the parquet scan, linear scaling
+with executors at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import hashing as H
+
+# BPE-ish tokenization regex: letter runs, single digits, single
+# non-alnum marks — a crude proxy for subword token count.
+_BPE_RE_SPARK = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+_BPE_RE_DUCK = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+_PUNCT_RE = "[^.,;:!?]"
+
+# Tiny per-language stopword vocabularies for the n-gram/stopword
+# language-ID heuristic (deterministic, SQL-expressible).
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "de", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "de", "un", "una", "por", "con"],
+}
+_LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
+
+
+def _in_list(langwords: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in langwords)
+
+
+def _lang_score(tok: str, lang: str, spark: bool) -> str:
+    words = _in_list(LANG_STOPWORDS[lang])
+    if spark:
+        return f"size(filter({tok}, t -> t IN ({words})))"
+    return f"len(list_filter({tok}, t -> t IN ({words})))"
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document counting + quality score.
+
+    quality = 0.4*len_score + 0.3*(1 - punct_ratio) + 0.3*stop_ratio,
+    rounded to 6dp; len_score saturates at 200 tokens. All arithmetic
+    double, identical expression both engines."""
+    tok = H.tokens("text", spark=True)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.expr(f"cast(size({tok}) as long)").alias("n_tokens_ws"),
+        F.expr(f"cast(regexp_count(text, '{_BPE_RE_SPARK}') as long)").alias("n_tokens_bpe"),
+        F.expr(
+            f"round(cast(length(regexp_replace(text, '{_PUNCT_RE}', '')) as double)"
+            f" / greatest(length(text), 1), 6)"
+        ).alias("punct_ratio"),
+        F.expr(
+            f"round(cast({_lang_score(tok, 'en', True)} as double)"
+            f" / greatest(size({tok}), 1), 6)"
+        ).alias("stopword_ratio"),
+        F.expr(
+            f"round(0.4 * least(cast(size({tok}) as double) / 200.0, 1.0)"
+            f" + 0.3 * (1.0 - cast(length(regexp_replace(text, '{_PUNCT_RE}', '')) as double)"
+            f"          / greatest(length(text), 1))"
+            f" + 0.3 * (cast({_lang_score(tok, 'en', True)} as double)"
+            f"          / greatest(size({tok}), 1)), 6)"
+        ).alias("quality_score"),
+    )
+
+
+def doc_stats_oracle(corpus_cte: str) -> str:
+    tok = H.tokens("text", spark=False)
+    en = _lang_score(tok, "en", False)
+    return f"""WITH {corpus_cte}
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(len({tok}) AS BIGINT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE_DUCK}')) AS BIGINT) AS n_tokens_bpe,
+       ROUND(CAST(LENGTH(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+       ROUND(CAST({en} AS DOUBLE) / GREATEST(len({tok}), 1), 6) AS stopword_ratio,
+       ROUND(0.4 * LEAST(CAST(len({tok}) AS DOUBLE) / 200.0, 1.0)
+             + 0.3 * (1.0 - CAST(LENGTH(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)
+                      / GREATEST(LENGTH(text), 1))
+             + 0.3 * (CAST({en} AS DOUBLE) / GREATEST(len({tok}), 1)), 6) AS quality_score
+FROM corpus
+"""
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-overlap language ID with deterministic tie-break
+    (en > de > fr > es on equal scores)."""
+    tok = H.tokens("text", spark=True)
+    scores = {L: F.expr(f"cast({_lang_score(tok, L, True)} as long)") for L in _LANG_ORDER}
+    pred = F.lit(None).cast("string")
+    # build the CASE chain from lowest to highest priority
+    for L in reversed(_LANG_ORDER):
+        higher = _LANG_ORDER[: _LANG_ORDER.index(L)]
+        cond = None
+        for o in _LANG_ORDER:
+            if o == L:
+                continue
+            c = scores[L] > scores[o] if o in higher else scores[L] >= scores[o]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(L)).otherwise(pred)
+    out = docs.select(
+        "doc_id",
+        *[scores[L].alias(f"score_{L}") for L in _LANG_ORDER],
+        pred.alias("pred_lang"),
+    )
+    return out
+
+
+def lang_id_oracle(corpus_cte: str) -> str:
+    tok = H.tokens("text", spark=False)
+    s = {L: _lang_score(tok, L, False) for L in _LANG_ORDER}
+    cases = []
+    for L in _LANG_ORDER:
+        higher = _LANG_ORDER[: _LANG_ORDER.index(L)]
+        conds = []
+        for o in _LANG_ORDER:
+            if o == L:
+                continue
+            op = ">" if o in higher else ">="
+            conds.append(f"{s[L]} {op} {s[o]}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{L}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE NULL END"
+    cols = ",\n       ".join(f"CAST({s[L]} AS BIGINT) AS score_{L}" for L in _LANG_ORDER)
+    return f"""WITH {corpus_cte}
+SELECT doc_id,
+       {cols},
+       {case_sql} AS pred_lang
+FROM corpus
+"""
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprint + min 3-gram shingle hash
+    (the winnowing-style second signal)."""
+    tok = H.tokens("text", spark=True)
+    norm = "concat_ws(' ', " + tok + ")"
+    sh = H.shingles(tok, 3, spark=True)
+    return docs.select(
+        "doc_id",
+        F.expr(H.char_hash(norm, spark=True)).alias("fp64"),
+        F.expr(f"array_min({H.hash_array(sh, spark=True)})").alias("min_shingle_hash"),
+    )
+
+
+def fingerprint_oracle(corpus_cte: str) -> str:
+    tok = H.tokens("text", spark=False)
+    norm = f"array_to_string({tok}, ' ')"
+    sh = H.shingles(tok, 3, spark=False)
+    return f"""WITH {corpus_cte}
+SELECT doc_id,
+       {H.char_hash(norm, spark=False)} AS fp64,
+       list_min({H.hash_array(sh, spark=False)}) AS min_shingle_hash
+FROM corpus
+"""

@@ -1,0 +1,150 @@
+"""Training-data pipeline operators: oracle parity + semantic checks.
+
+Mirrors the reference's transform-test layer (table-driven exact
+equality, /root/reference/internal/transform/ledger_test.go:15-117)
+for the dedup / similarity / text-analysis / multimodal operators.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from conftest import SF_SMALL, assert_oracle_match, register_views
+
+from stellar_etl_spark.functions import corpus as fcorpus
+from stellar_etl_spark.functions import dedup as fdedup
+from stellar_etl_spark.functions import multimodal as fmm
+from stellar_etl_spark.functions import similarity as fsim
+from stellar_etl_spark.functions import text as ftext
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    register_views(con, SF_SMALL)
+    return con
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return fcorpus.load_corpus(spark, SF_SMALL).cache()
+
+
+# --- oracle parity (the driver's gate, exercised in-repo) ------------------
+
+def test_doc_stats_oracle(spark, duck, corpus):
+    assert_oracle_match(
+        ftext.doc_stats(corpus), duck, ftext.doc_stats_oracle(fcorpus.CORPUS_CTE), "doc_stats"
+    )
+
+
+def test_dedup_exact_oracle(spark, duck, corpus):
+    assert_oracle_match(
+        fdedup.exact_dedup(corpus), duck, fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
+        "dedup_exact",
+    )
+
+
+def test_minhash_oracle(spark, duck, corpus):
+    assert_oracle_match(
+        fdedup.minhash_lsh_dedup(corpus), duck,
+        fdedup.minhash_lsh_oracle(fcorpus.CORPUS_CTE), "dedup_minhash_lsh",
+    )
+
+
+def test_ann_lsh_oracle(spark, duck):
+    emb = fcorpus.load_embeddings(spark, SF_SMALL)
+    assert_oracle_match(
+        fsim.ann_lsh(emb), duck, fsim.ann_lsh_oracle(fcorpus.EMB_CTE), "ann_topk_lsh"
+    )
+
+
+def test_multimodal_meta_oracle(spark, duck, corpus):
+    assert_oracle_match(
+        fmm.decode_metadata(corpus), duck,
+        fmm.decode_metadata_oracle(fcorpus.CORPUS_CTE), "multimodal_meta",
+    )
+
+
+# --- semantic checks -------------------------------------------------------
+
+def test_exact_dedup_finds_planted_copies(spark, corpus):
+    """Every doc_id%10==0 doc has a planted exact copy at id+10000;
+    both must map to the same keep_doc_id with n_copies >= 2."""
+    out = {r.doc_id: r for r in fdedup.exact_dedup(corpus).collect()}
+    base_ids = [i for i in out if i < 10000 and i % 10 == 0]
+    assert base_ids, "no base docs found"
+    for i in base_ids:
+        assert out[i + 10000].keep_doc_id == out[i].keep_doc_id == i
+        assert out[i].n_copies >= 2
+
+
+def test_minhash_finds_planted_near_dupes(spark, corpus):
+    """doc_id%10==1 docs have near-dup variants (every 7th word
+    dropped) at id+20000; MinHash-LSH must recover most of them."""
+    pairs = {
+        (r.doc_a, r.doc_b) for r in fdedup.minhash_lsh_dedup(corpus).collect()
+    }
+    planted = [
+        i for i in range(1, 10000, 10)
+        if any(a == i and b == i + 20000 for a, b in pairs)
+    ]
+    assert len(planted) >= 25, f"recovered only {len(planted)} planted near-dup pairs"
+
+
+def test_simhash_exact_copies_have_zero_hamming(spark, corpus):
+    res = {
+        (r.doc_a, r.doc_b): r.hamming for r in fdedup.simhash_dedup(corpus).collect()
+    }
+    zero = [(a, b) for (a, b), h in res.items() if b - a == 10000 and h == 0]
+    assert len(zero) >= 25, f"only {len(zero)} exact-copy pairs at hamming 0"
+
+
+def test_ann_brute_self_similarity_ordering(spark):
+    """Brute-force top-k: ranks are 1..k per query, cosine
+    non-increasing within a query."""
+    emb = fcorpus.load_embeddings(spark, SF_SMALL)
+    rows = fsim.ann_bruteforce(emb).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == fsim.N_QUERIES
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_embedding_dup_catches_perturbed(spark):
+    embc = fdedup.load_emb_corpus(spark, SF_SMALL)
+    pairs = {(r.vec_a, r.vec_b) for r in fdedup.embedding_dup_pairs(embc).collect()}
+    planted = [(i, i + 10000) for i in range(0, 500, 10)]
+    found = [p for p in planted if p in pairs]
+    assert len(found) >= len(planted) * 0.9
+
+
+def test_lang_id_english_wins(spark, corpus):
+    """Synthetic corpus is English word salad — en must dominate."""
+    out = ftext.lang_id(corpus)
+    n = out.count()
+    n_en = out.filter("pred_lang = 'en'").count()
+    assert n_en >= n * 0.5
+
+
+def test_frame_sample_chunking(spark, corpus):
+    """frame_idx stride and byte accounting of the sampled frames."""
+    rows = fmm.frame_sample(corpus).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r.frame_idx % 4 == 0
+        assert 1 <= r.frame_bytes <= fmm.FRAME_BYTES
+
+
+def test_mapinpandas_batch_plumbing(spark, corpus):
+    """decode_metadata preserves row count and produces the typed
+    schema (the real multimodal plumbing around the stubbed decoder)."""
+    out = fmm.decode_metadata(corpus)
+    assert out.schema == fmm.DECODED_SCHEMA
+    assert out.count() == corpus.count()
