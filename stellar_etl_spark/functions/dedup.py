@@ -47,6 +47,32 @@ def _hashes_expr(spark: bool) -> str:
     return f"array_distinct({arr})" if spark else f"list_distinct({arr})"
 
 
+def _hashes_df(corpus: DataFrame) -> DataFrame:
+    """(doc_id, hs) signature table, built stagewise and repartitioned.
+
+    Two deliberate physical choices (measured 3-4x on the bench):
+    * tokens/shingles become real columns between selects — inlining
+      the whole tree makes codegen re-evaluate the token split once per
+      shingle element (no CSE inside lambda bodies);
+    * the final repartition(doc_id) puts an Exchange on top of the
+      expensive projection, so every self-join branch downstream reuses
+      ONE computation (ReusedExchange) instead of re-hashing the corpus
+      per branch. At 100 TB this exchange is replaced by materializing
+      the signature table once (it is ~100x smaller than the corpus).
+    """
+    tok = H.tokens("text", spark=True)
+    return (
+        corpus.select("doc_id", F.expr(tok).alias("toks"))
+        .select("doc_id", F.expr(H.shingles("toks", 3, spark=True)).alias("sh"))
+        .select(
+            "doc_id",
+            F.expr(f"array_distinct({H.hash_array('sh', spark=True)})").alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
+        .repartition("doc_id")
+    )
+
+
 # --- 1. exact dedup --------------------------------------------------------
 
 def exact_dedup(corpus: DataFrame) -> DataFrame:
@@ -81,11 +107,7 @@ def minhash_lsh_dedup(corpus: DataFrame) -> DataFrame:
     generation, then exact Jaccard verification on distinct shingle
     sets; emits pairs with jaccard >= 0.35."""
     sig_exprs = ", ".join(H.minhash_sig("hs", i, spark=True) for i in range(H.MINHASH_K))
-    docs = (
-        corpus.select("doc_id", F.expr(_hashes_expr(True)).alias("hs"))
-        .filter(F.size("hs") > 0)
-        .withColumn("sig", F.expr(f"array({sig_exprs})"))
-    )
+    docs = _hashes_df(corpus).withColumn("sig", F.expr(f"array({sig_exprs})"))
     band_structs = [
         F.struct(
             F.lit(j).alias("band_idx"),
@@ -257,10 +279,7 @@ def ngram_jaccard_dedup(corpus: DataFrame) -> DataFrame:
     document-frequency cap: shingles present in >DF_CAP docs (or only
     one doc) are dropped before pair generation — the standard guard
     against quadratic blowup on stop-shingles at scale."""
-    docs = (
-        corpus.select("doc_id", F.expr(_hashes_expr(True)).alias("hs"))
-        .filter(F.size("hs") > 0)
-    )
+    docs = _hashes_df(corpus)
     ex = docs.select("doc_id", F.explode("hs").alias("h"))
     dfh = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     keep = dfh.filter((F.col("df") >= 2) & (F.col("df") <= DF_CAP)).select("h")

@@ -146,14 +146,24 @@ FROM corpus
 
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Rolling-hash document fingerprint + min 3-gram shingle hash
-    (the winnowing-style second signal)."""
+    (the winnowing-style second signal).
+
+    Built stagewise (tokens -> shingles -> hashes as real columns):
+    inlining the token split into the shingle lambda makes codegen
+    re-split the text once per shingle element."""
     tok = H.tokens("text", spark=True)
-    norm = "concat_ws(' ', " + tok + ")"
-    sh = H.shingles(tok, 3, spark=True)
-    return docs.select(
-        "doc_id",
-        F.expr(H.char_hash(norm, spark=True)).alias("fp64"),
-        F.expr(f"array_min({H.hash_array(sh, spark=True)})").alias("min_shingle_hash"),
+    return (
+        docs.select("doc_id", F.expr(tok).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr("concat_ws(' ', toks)").alias("norm"),
+            F.expr(H.shingles("toks", 3, spark=True)).alias("sh"),
+        )
+        .select(
+            "doc_id",
+            F.expr(H.char_hash("norm", spark=True)).alias("fp64"),
+            F.expr(f"array_min({H.hash_array('sh', spark=True)})").alias("min_shingle_hash"),
+        )
     )
 
 

@@ -28,20 +28,31 @@ from stellar_etl_spark.config import DEFAULT, EngineConfig
 
 def match_pairs(df: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     """For each user turn, the first following non-user turn before the
-    next user turn (responses don't leak across user turns)."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    fwd = w.rowsBetween(1, Window.unboundedFollowing)
+    next user turn (responses don't leak across user turns).
 
-    resp = F.first(
+    Implementation note (scale): "first following X" is computed as
+    ``last(X) ignorenulls`` over a DESCENDING order with a *growing*
+    frame (unboundedPreceding, -1). Spark evaluates growing frames
+    incrementally (O(rows) per partition); the naive ascending
+    (1, unboundedFollowing) frame is a shrinking frame that Spark
+    recomputes per row — O(rows x frame) on hot conversations, which
+    measurably flattens multi-core scaling on skewed data."""
+    wdesc = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.desc("turn_idx"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    resp = F.last(
         F.when(
             F.col("role") != "user",
             F.struct("turn_idx", "role", "tool", "ts"),
         ),
         ignorenulls=True,
-    ).over(fwd)
-    next_user = F.first(
+    ).over(wdesc)
+    next_user = F.last(
         F.when(F.col("role") == "user", F.col("turn_idx")), ignorenulls=True
-    ).over(fwd)
+    ).over(wdesc)
 
     annotated = (
         df.withColumn("resp", resp)
