@@ -28,7 +28,9 @@ def duck():
 
 @pytest.fixture(scope="module")
 def corpus(spark):
-    return fcorpus.load_corpus(spark, SF_SMALL).cache()
+    df = fcorpus.load_corpus(spark, SF_SMALL).cache()
+    yield df
+    df.unpersist()
 
 
 # --- oracle parity (the driver's gate, exercised in-repo) ------------------

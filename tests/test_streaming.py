@@ -65,7 +65,7 @@ def test_stream_tool_rate_equals_batch(spark, data_dir, tmp_path):
         )
         q = start_windowed(agg, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
                            "tool_rate", query_name="t_rate")
-        q.awaitTermination(300)
+        assert q.awaitTermination(540), "stream did not finish within 540s"
     finally:
         spark.streams.removeListener(listener)
 
@@ -87,7 +87,7 @@ def test_stream_sessions_equal_batch(spark, data_dir, tmp_path):
         agg = sessions.sessionize(stream, CFG, watermark=True)
         q = start_windowed(agg, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
                            "sessions", query_name="t_sessions")
-        q.awaitTermination(300)
+        assert q.awaitTermination(540), "stream did not finish within 540s"
     finally:
         spark.streams.removeListener(listener)
 
@@ -110,7 +110,7 @@ def test_matcher_stream_equals_batch(spark, data_dir, tmp_path):
         matched = match_pairs_stream(stream, CFG)
         q = start_windowed(matched, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
                            "turn_pairs", query_name="t_pairs", output_mode="append")
-        q.awaitTermination(300)
+        assert q.awaitTermination(540), "stream did not finish within 540s"
     finally:
         spark.streams.removeListener(listener)
 
@@ -172,7 +172,7 @@ def test_exactly_once_resume(spark, data_dir, tmp_path):
     s2 = read_transcript_stream(spark, data_dir, max_files_per_trigger=1)
     q2 = start_fanout(s2, sink_root, ckpt, transforms, available_now=True,
                       query_name="phase2")
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(540), "resumed stream did not finish within 540s"
 
     sink = EpochCommitSink(sink_root)
     got = sink.read_table(spark, "turns").select("conv_id", "turn_idx")
