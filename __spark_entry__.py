@@ -25,7 +25,7 @@ from stellar_etl_spark.functions import dedup as fdedup
 from stellar_etl_spark.functions import multimodal as fmm
 from stellar_etl_spark.functions import similarity as fsim
 from stellar_etl_spark.functions import text as ftext
-from stellar_etl_spark.operators import dims, pairs, rollups, sessions, skew, state
+from stellar_etl_spark.operators import dims, pairs, rollups, sessions, skew, star, state
 from stellar_etl_spark.operators.enrich import enrich_turns
 from stellar_etl_spark.sources.transcripts import TRANSCRIPTS_CTE, load_transcripts
 
@@ -184,6 +184,18 @@ def _q_multimodal_frames(spark, sf):
     return fmm.frame_sample(_C(spark, sf))
 
 
+def _q_fact_tool_events(spark, sf):
+    return star.normalize_star(_T(spark, sf))
+
+
+def _q_tool_sequences(spark, sf):
+    return star.tool_sequences(_T(spark, sf))
+
+
+def _q_derived_events(spark, sf):
+    return star.derived_events(_T(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_enriched": _q_turns_enriched,
@@ -201,6 +213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_range_from_times": _q_turn_range_from_times,
         "transform_stats": _q_transform_stats,
         "salted_tool_rate": _q_salted_tool_rate,
+        "fact_tool_events": _q_fact_tool_events,
+        "tool_sequences": _q_tool_sequences,
+        "derived_events": _q_derived_events,
         # training-data pipeline ops (documents/embeddings)
         "doc_stats": _q_doc_stats,
         "doc_lang_id": _q_doc_lang_id,
@@ -269,6 +284,9 @@ def oracle_sql() -> dict[str, str]:
         "turn_range_from_times": _RANGE_SQL,
         "transform_stats": _STATS_SQL,
         "salted_tool_rate": _SALTED_SQL,
+        "fact_tool_events": _W + star.normalize_oracle_sql().replace("FROM transcripts", "FROM transcripts", 1),
+        "tool_sequences": _W + star.TOOL_SEQUENCES_ORACLE_SQL,
+        "derived_events": _W + star.DERIVED_EVENTS_ORACLE_SQL,
         # training-data pipeline oracles
         "doc_stats": ftext.doc_stats_oracle(fcorpus.CORPUS_CTE),
         "doc_lang_id": ftext.lang_id_oracle(fcorpus.CORPUS_CTE),

@@ -1,0 +1,135 @@
+"""Star-schema normalization, ordered sequences, one-to-many derived
+events — the remaining export-family analogs.
+
+Reference analogs:
+  * offer_normalized.go:16-183 — one offer row normalized into
+    (DimMarket, DimAccount, DimOffer, FactOfferEvent) with FNV-1a
+    surrogate keys (:108-178). Here: `normalize_star` mints the fact
+    table with deterministic polynomial-hash surrogate keys
+    (`functions/hashing.py` — same determinism contract as FNV, but
+    portable, so the DuckDB oracle checks exact key values).
+  * account_signer.go:14-55 — one account -> N signer rows sorted by
+    weight (A6/L2). Here: `tool_sequences` aggregates each
+    conversation's tool invocations into a turn-ordered array.
+  * effects.go:23-51,161-166 — one tx -> N effect rows with the effect
+    index assigned after collection (W3). Here: `derived_events`
+    expands each turn into its typed event rows with posexplode.
+
+Scale notes: normalize_star and derived_events are narrow maps (zero
+shuffle — dims at 100 TB are dedup'd downstream by `dropDuplicates` on
+the surrogate key, a separate small-output shuffle); tool_sequences is
+one shuffle on conv_id with map-side partial collect_list. Surrogate
+keys are pure functions of the natural key — never sequence generators
+(the TOID lesson, SURVEY §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stellar_etl_spark.functions import hashing as H
+
+
+def normalize_star(df: DataFrame) -> DataFrame:
+    """Tool-turn fact table with surrogate keys (FactOfferEvent analog).
+
+    conv_key/tool_key are polynomial hashes of the natural keys —
+    deterministic across engines and runs (offer_normalized.go's FNV
+    pattern, :108-147)."""
+    return df.filter(F.col("tool").isNotNull()).select(
+        F.expr(H.char_hash("conv_id", spark=True)).alias("conv_key"),
+        "conv_id",
+        F.expr(H.char_hash("tool", spark=True)).alias("tool_key"),
+        "tool",
+        "turn_idx",
+        "ts",
+    )
+
+
+NORMALIZE_ORACLE_SQL_TEMPLATE = """
+    SELECT {conv_hash} AS conv_key,
+           conv_id,
+           {tool_hash} AS tool_key,
+           tool,
+           turn_idx,
+           ts
+    FROM transcripts WHERE tool IS NOT NULL
+"""
+
+
+def normalize_oracle_sql() -> str:
+    return NORMALIZE_ORACLE_SQL_TEMPLATE.format(
+        conv_hash=H.char_hash("conv_id", spark=False),
+        tool_hash=H.char_hash("tool", spark=False),
+    )
+
+
+def tool_sequences(df: DataFrame) -> DataFrame:
+    """Per-conversation turn-ordered tool sequence (signer-sort analog).
+
+    collect_list gives no ordering guarantee, so the struct is sorted
+    explicitly (sort_array on (turn_idx, tool)) before projection —
+    the same discipline as the reference's explicit sort
+    (account_signer.go:53)."""
+    seq = F.transform(
+        F.sort_array(F.collect_list(F.struct("turn_idx", "tool"))),
+        lambda s: s["tool"],
+    )
+    return (
+        df.filter(F.col("tool").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            seq.alias("tools"),
+            F.count(F.lit(1)).cast("long").alias("n_tool_turns"),
+            F.min("turn_idx").alias("first_tool_turn"),
+            F.max("turn_idx").alias("last_tool_turn"),
+        )
+    )
+
+
+TOOL_SEQUENCES_ORACLE_SQL = """
+    SELECT conv_id,
+           list(tool ORDER BY turn_idx) AS tools,
+           COUNT(*) AS n_tool_turns,
+           MIN(turn_idx) AS first_tool_turn,
+           MAX(turn_idx) AS last_tool_turn
+    FROM transcripts WHERE tool IS NOT NULL
+    GROUP BY conv_id
+"""
+
+
+def derived_events(df: DataFrame) -> DataFrame:
+    """One turn -> N typed event rows with post-assigned event index
+    (TransformEffect's collect-then-index pattern, effects.go:161-166).
+
+    tool turns emit (tool_invoke, tool_result); other roles emit one
+    `message`/`system` event."""
+    kinds = (
+        F.when(
+            F.col("role") == "tool", F.array(F.lit("tool_invoke"), F.lit("tool_result"))
+        )
+        .when(F.col("role") == "system", F.array(F.lit("system")))
+        .otherwise(F.array(F.lit("message")))
+    )
+    return df.select(
+        "conv_id", "turn_idx", "tool", "ts", F.posexplode(kinds).alias("event_idx", "event_type")
+    ).select("conv_id", "turn_idx", "event_idx", "event_type", "tool", "ts")
+
+
+DERIVED_EVENTS_ORACLE_SQL = """
+    , kinds AS (
+        SELECT conv_id, turn_idx, tool, ts,
+               CASE WHEN role = 'tool' THEN ['tool_invoke', 'tool_result']
+                    WHEN role = 'system' THEN ['system']
+                    ELSE ['message'] END AS ks
+        FROM transcripts
+    )
+    SELECT conv_id, turn_idx,
+           CAST(u.i - 1 AS INT) AS event_idx,
+           u.ev AS event_type,
+           tool, ts
+    FROM kinds,
+         LATERAL (SELECT UNNEST(ks) AS ev,
+                         generate_subscripts(ks, 1) AS i) u
+"""
