@@ -1,0 +1,162 @@
+"""CLI entrypoint — the Cobra command-family analog, run via
+``spark-submit [--py-files stellar_etl_spark.zip] -m`` or plain python.
+
+Reference analog: one export command per output table with shared
+range/limit/strict flags (/root/reference/cmd/export_ledgers.go,
+export_ledger_entry_changes.go:31-59; common flags
+internal/utils/main.go:460-538). Differences by design:
+
+* ranges are event-time (``--start-ts/--end-ts``) — partition pruning
+  replaces the reference's remote binary search (ledger_range.go);
+* ``export-all --stream`` runs the multi-table fan-out through ONE
+  checkpoint + exactly-once epoch sink (the reference writes N files
+  per batch with no atomicity, export_ledger_entry_changes.go:295-377);
+* batch mode writes plain parquet per table (JSONL sink analog).
+
+Examples::
+
+    python -m stellar_etl_spark.cli export-sessions \
+        --input /data/transcripts --out /data/out --master 'local[8]'
+    python -m stellar_etl_spark.cli export-all --stream \
+        --input /data/transcripts --out /data/sink --checkpoint /data/ckpt
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import DataFrame
+
+from stellar_etl_spark.config import EngineConfig
+
+
+def _tables(cfg: EngineConfig):
+    from stellar_etl_spark.operators import pairs, rollups, sessions, star, state
+    from stellar_etl_spark.operators.enrich import enrich_turns
+
+    return {
+        "turns": lambda df: enrich_turns(df, cfg),
+        "sessions": lambda df: sessions.sessionize(df, cfg),
+        "tool_rate": lambda df: rollups.tool_rate(df, cfg),
+        "role_rate": lambda df: rollups.role_rate(df, cfg),
+        "tool_rate_sliding": lambda df: rollups.tool_rate_sliding(df, cfg),
+        "pairs": lambda df: pairs.match_pairs(df, cfg),
+        "last_state": state.compact_last_state,
+        "fact_tool_events": star.normalize_star,
+        "tool_sequences": star.tool_sequences,
+        "derived_events": star.derived_events,
+    }
+
+
+def _apply_range(df: DataFrame, args) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    if args.start_ts:
+        df = df.filter(F.col("ts") >= args.start_ts)
+    if args.end_ts:
+        df = df.filter(F.col("ts") < args.end_ts)
+    if args.limit and args.limit > 0:
+        df = df.limit(args.limit)
+    return df
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="stellar-etl-spark")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--input", required=True, help="transcript parquet dir")
+        sp.add_argument("--out", required=True, help="output root dir")
+        sp.add_argument("--checkpoint", help="checkpoint dir (stream mode)")
+        sp.add_argument("--stream", action="store_true", help="run as streaming query")
+        sp.add_argument("--start-ts", help="inclusive event-time lower bound")
+        sp.add_argument("--end-ts", help="exclusive event-time upper bound")
+        sp.add_argument("--limit", type=int, default=-1, help="row limit (batch only)")
+        sp.add_argument("--strict", action="store_true", help="fail on transform errors")
+        sp.add_argument("--master", default="local[*]")
+        sp.add_argument("--session-gap", default="8 hours")
+        sp.add_argument("--watermark", default="10 minutes")
+        sp.add_argument("--files-per-trigger", type=int, default=4)
+
+    cfg0 = EngineConfig()
+    for name in list(_tables(cfg0)) + ["all"]:
+        sp = sub.add_parser(f"export-{name.replace('_', '-')}")
+        common(sp)
+        sp.set_defaults(table=name)
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = EngineConfig(
+        session_gap=args.session_gap,
+        watermark_delay=args.watermark,
+        strict_errors=args.strict,
+    )
+    tables = _tables(cfg)
+    selected = tables if args.table == "all" else {args.table: tables[args.table]}
+
+    own_session = spark is None
+    if own_session:
+        from stellar_etl_spark.session import get_spark
+
+        spark = get_spark(EngineConfig(master=args.master), app_name="stellar-etl-spark-cli")
+    from stellar_etl_spark.deploy import ship_package
+
+    ship_package(spark)
+
+    try:
+        if args.stream:
+            if not args.checkpoint:
+                raise SystemExit("--checkpoint is required with --stream")
+            from stellar_etl_spark.operators import rollups, sessions
+            from stellar_etl_spark.streaming.matcher import match_pairs_stream
+            from stellar_etl_spark.streaming.pipeline import start_fanout, start_windowed
+            from stellar_etl_spark.streaming.source import read_transcript_stream
+
+            def src():
+                return read_transcript_stream(
+                    spark, args.input, max_files_per_trigger=args.files_per_trigger
+                )
+
+            # row-local tables share ONE fan-out query/checkpoint (all-or-
+            # nothing per epoch); watermarked/stateful tables each need
+            # their own stateful query (per-batch transforms would break
+            # their cross-batch semantics)
+            windowed_builders = {
+                "sessions": lambda s: sessions.sessionize(s, cfg, watermark=True),
+                "tool_rate": lambda s: rollups.tool_rate(
+                    s.withWatermark("ts", cfg.watermark_delay), cfg, exact=False),
+                "role_rate": lambda s: rollups.role_rate(
+                    s.withWatermark("ts", cfg.watermark_delay), cfg, exact=False),
+                "tool_rate_sliding": lambda s: rollups.tool_rate_sliding(
+                    s.withWatermark("ts", cfg.watermark_delay), cfg, exact=False),
+                "pairs": lambda s: match_pairs_stream(s, cfg),
+            }
+            queries = []
+            fanout = {n: f for n, f in selected.items() if n not in windowed_builders}
+            if fanout:
+                queries.append(start_fanout(
+                    src(), args.out, f"{args.checkpoint}/fanout", fanout))
+            for name in selected:
+                if name in windowed_builders:
+                    queries.append(start_windowed(
+                        windowed_builders[name](src()), args.out,
+                        f"{args.checkpoint}/{name}", name, query_name=name))
+            for q in queries:
+                q.awaitTermination()
+        else:
+            from stellar_etl_spark.streaming.source import read_transcript_batch
+
+            df = _apply_range(read_transcript_batch(spark, args.input), args)
+            for name, fn in selected.items():
+                fn(df).write.mode("overwrite").parquet(f"{args.out}/{name}")
+        return 0
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,68 @@
+"""CLI entrypoint: batch export family + streaming fan-out smoke."""
+
+from __future__ import annotations
+
+import pytest
+
+from stellar_etl_spark import cli
+from stellar_etl_spark.operators import sessions
+from stellar_etl_spark.config import EngineConfig
+from stellar_etl_spark.sources.generator import write_transcripts
+from stellar_etl_spark.streaming.sink import EpochCommitSink
+from stellar_etl_spark.streaming.source import read_transcript_batch
+
+
+@pytest.fixture(scope="module")
+def small_input(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_input"))
+    write_transcripts(d, n_convs=300, n_files=4)
+    return d
+
+
+def test_cli_batch_export_all(spark, small_input, tmp_path):
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["export-all", "--input", small_input, "--out", out,
+         "--session-gap", "30 minutes"],
+        spark=spark,
+    )
+    assert rc == 0
+    for table in ["turns", "sessions", "tool_rate", "pairs", "fact_tool_events"]:
+        assert spark.read.parquet(f"{out}/{table}").count() > 0
+
+    # batch CLI output == operator output (same cfg, same input)
+    got = sorted(
+        (r.conv_id, r.session_start, r.turn_count)
+        for r in spark.read.parquet(f"{out}/sessions").collect()
+    )
+    cfg = EngineConfig(session_gap="30 minutes")
+    want = sorted(
+        (r.conv_id, r.session_start, r.turn_count)
+        for r in sessions.sessionize(read_transcript_batch(spark, small_input), cfg).collect()
+    )
+    assert got == want
+
+
+def test_cli_batch_range_and_limit(spark, small_input, tmp_path):
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["export-turns", "--input", small_input, "--out", out,
+         "--start-ts", "2026-01-01 06:00:00", "--end-ts", "2026-01-01 12:00:00"],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = spark.read.parquet(f"{out}/turns").collect()
+    assert rows
+    assert all("2026-01-01 06:00:00" <= str(r.ts) < "2026-01-01 12:00:00" for r in rows)
+
+
+def test_cli_stream_windowed(spark, small_input, tmp_path):
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    rc = cli.main(
+        ["export-tool-rate", "--stream", "--input", small_input,
+         "--out", out, "--checkpoint", ckpt],
+        spark=spark,
+    )
+    assert rc == 0
+    got = EpochCommitSink(out).read_table(spark, "tool_rate")
+    assert got.count() > 0
