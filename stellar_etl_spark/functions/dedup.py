@@ -40,11 +40,13 @@ def _norm_expr(spark: bool) -> str:
 
 
 def _hashes_expr(spark: bool) -> str:
-    """Distinct 3-gram shingle hashes of `text` -> ARRAY<BIGINT>."""
+    """Distinct 3-gram shingle hashes of `text` -> ARRAY<BIGINT>,
+    via word-hash composition (each word char-hashed once, shingles
+    combined arithmetically — hashing.shingle_hashes_from_words)."""
     tok = H.tokens("text", spark)
-    sh = H.shingles(tok, 3, spark)
-    arr = H.hash_array(sh, spark)
-    return f"array_distinct({arr})" if spark else f"list_distinct({arr})"
+    wh = H.hash_array(tok, spark)
+    sh = H.shingle_hashes_from_words(f"({wh})" if not spark else wh, 3, spark)
+    return f"array_distinct({sh})" if spark else f"list_distinct({sh})"
 
 
 def _hashes_df(corpus: DataFrame) -> DataFrame:
@@ -63,13 +65,27 @@ def _hashes_df(corpus: DataFrame) -> DataFrame:
     tok = H.tokens("text", spark=True)
     return (
         corpus.select("doc_id", F.expr(tok).alias("toks"))
-        .select("doc_id", F.expr(H.shingles("toks", 3, spark=True)).alias("sh"))
+        # filter HERE, on the cheap token count (hs empty <=> <3 tokens):
+        # a later filter(size(hs) > 0) gets alias-substituted by Catalyst
+        # into the predicate, re-evaluating the whole hash pipeline per
+        # row in interpreted mode (measured 8x the projection cost)
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.expr(H.hash_array("toks", spark=True)).alias("wh"))
         .select(
             "doc_id",
-            F.expr(f"array_distinct({H.hash_array('sh', spark=True)})").alias("hs"),
+            F.expr(
+                f"array_distinct({H.shingle_hashes_from_words('wh', 3, spark=True)})"
+            ).alias("hs"),
         )
-        .filter(F.size("hs") > 0)
         .repartition("doc_id")
+        # materialize + truncate lineage: downstream consumers explode hs,
+        # and InferFiltersFromGenerate re-infers size(hs)>0, pushes it
+        # through the exchange, and alias-substitutes the whole hash
+        # pipeline into an interpreted filter predicate (measured 30x on
+        # the inverted-index path). The local checkpoint is the
+        # bench-scale stand-in for materializing the signature table,
+        # which is the correct 100 TB design anyway.
+        .localCheckpoint(eager=False)
     )
 
 

@@ -99,6 +99,31 @@ def hash_array(arr: str, spark: bool) -> str:
     return f"list_transform({arr}, s -> {char_hash('s', False)})"
 
 
+# Word-hash composition: hash each word once, derive shingle hashes by
+# modular combination — 3x fewer char folds than hashing shingle
+# strings, and no string concatenation in the hot path. B is a word
+# separator multiplier; W[i] < P so W[i]*B < 2^43, safely in int64.
+SHINGLE_B = 8191
+
+
+def shingle_hashes_from_words(wh: str, n: int, spark: bool) -> str:
+    """Shingle hashes from a word-hash ARRAY<BIGINT> expression `wh`:
+    h = fold over n consecutive word hashes of (acc*B + w) mod P."""
+    combo = f"{wh}[i]"
+    for k in range(1, n):
+        combo = f"(({combo}) * {SHINGLE_B} + {wh}[i+{k}]) % {P}"
+    if spark:
+        el = f"element_at({wh}, i)"
+        for k in range(1, n):
+            el = f"(({el}) * {SHINGLE_B}L + element_at({wh}, i + {k})) % {P}L"
+        return (f"CASE WHEN size({wh}) >= {n} THEN "
+                f"transform(sequence(1, size({wh}) - {n - 1}), i -> {el}) "
+                f"ELSE CAST(array() AS array<bigint>) END")
+    return (f"CASE WHEN len({wh}) >= {n} THEN "
+            f"list_transform(generate_series(1, len({wh}) - {n - 1}), i -> {combo}) "
+            f"ELSE []::BIGINT[] END")
+
+
 def minhash_sig(hashes: str, i: int, spark: bool) -> str:
     """i-th MinHash value over an ARRAY<BIGINT> of shingle hashes."""
     a, b = MINHASH_A[i], MINHASH_B[i]

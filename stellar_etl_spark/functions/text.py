@@ -157,12 +157,14 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             F.expr("concat_ws(' ', toks)").alias("norm"),
-            F.expr(H.shingles("toks", 3, spark=True)).alias("sh"),
+            F.expr(H.hash_array("toks", spark=True)).alias("wh"),
         )
         .select(
             "doc_id",
             F.expr(H.char_hash("norm", spark=True)).alias("fp64"),
-            F.expr(f"array_min({H.hash_array('sh', spark=True)})").alias("min_shingle_hash"),
+            F.expr(
+                f"array_min({H.shingle_hashes_from_words('wh', 3, spark=True)})"
+            ).alias("min_shingle_hash"),
         )
     )
 
@@ -170,10 +172,10 @@ def fingerprint(docs: DataFrame) -> DataFrame:
 def fingerprint_oracle(corpus_cte: str) -> str:
     tok = H.tokens("text", spark=False)
     norm = f"array_to_string({tok}, ' ')"
-    sh = H.shingles(tok, 3, spark=False)
-    return f"""WITH {corpus_cte}
-SELECT doc_id,
-       {H.char_hash(norm, spark=False)} AS fp64,
-       list_min({H.hash_array(sh, spark=False)}) AS min_shingle_hash
-FROM corpus
+    sh = H.shingle_hashes_from_words("wh", 3, spark=False)
+    return f"""WITH {corpus_cte},
+whs AS (SELECT doc_id, {H.char_hash(norm, spark=False)} AS fp64,
+               {H.hash_array(tok, spark=False)} AS wh
+        FROM corpus)
+SELECT doc_id, fp64, list_min({sh}) AS min_shingle_hash FROM whs
 """
