@@ -53,6 +53,10 @@ def main() -> None:
 
     # warm up the JVM + Python worker pool outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda x: x * 1.0, "double")
+    spark.range(100_000).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
