@@ -31,6 +31,13 @@ NGRAM_JACCARD_T = 0.3
 SIMHASH_MAX_HAMMING = 3
 COSINE_DUP_T = 0.98
 DF_CAP = 50  # drop shingles present in more docs (stop-shingles)
+# Hot-band guard for the LSH self-joins: a band bucket holding k docs
+# emits k*(k-1)/2 candidate pairs, so one giant cluster of exact
+# near-dups (the common case in a dedup-heavy corpus) turns the join
+# quadratic. Buckets above the cap are dropped from candidate
+# generation — their members are still caught by exact dedup and by
+# their other (rarer) bands. Mirrored verbatim in the oracles.
+BAND_CAP = 100
 
 
 def _norm_expr(spark: bool) -> str:
@@ -93,8 +100,12 @@ def _hashes_df(corpus: DataFrame) -> DataFrame:
 
 def exact_dedup(corpus: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup on the normalized-text fingerprint:
-    every doc mapped to its group's canonical (min) doc_id."""
-    fp = F.expr(H.char_hash(_norm_expr(True), spark=True))
+    every doc mapped to its group's canonical (min) doc_id.
+
+    The fingerprint is the ~60-bit wide identity hash
+    (hashing.char_hash_wide) — a 30-bit space would expect birthday
+    collisions from ~50k docs, silently merging distinct documents."""
+    fp = F.expr(H.char_hash_wide(_norm_expr(True), spark=True))
     df = corpus.select("doc_id", fp.alias("fp64"))
     w = Window.partitionBy("fp64")
     return df.select(
@@ -106,7 +117,7 @@ def exact_dedup(corpus: DataFrame) -> DataFrame:
 
 
 def exact_dedup_oracle(corpus_cte: str) -> str:
-    fp = H.char_hash(_norm_expr(False), spark=False)
+    fp = H.char_hash_wide(_norm_expr(False), spark=False)
     return f"""WITH {corpus_cte},
 fps AS (SELECT doc_id, {fp} AS fp64 FROM corpus)
 SELECT doc_id, fp64,
@@ -119,9 +130,12 @@ FROM fps
 # --- 2. MinHash + LSH ------------------------------------------------------
 
 def minhash_lsh_dedup(corpus: DataFrame) -> DataFrame:
-    """MinHash (k=16) + banded LSH (4 bands x 4 rows) candidate
+    """MinHash (k=hashing.MINHASH_K=32) + banded LSH
+    (hashing.MINHASH_BANDS=16 bands x MINHASH_ROWS=2 rows) candidate
     generation, then exact Jaccard verification on distinct shingle
-    sets; emits pairs with jaccard >= 0.35."""
+    sets; emits pairs with jaccard >= 0.35. Band buckets are capped at
+    BAND_CAP docs (hot-band guard, same rationale as DF_CAP): a cluster
+    of k identical docs otherwise emits k^2 candidate pairs per band."""
     sig_exprs = ", ".join(H.minhash_sig("hs", i, spark=True) for i in range(H.MINHASH_K))
     docs = _hashes_df(corpus).withColumn("sig", F.expr(f"array({sig_exprs})"))
     band_structs = [
@@ -140,8 +154,17 @@ def minhash_lsh_dedup(corpus: DataFrame) -> DataFrame:
     bands = docs.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("b")
     ).select("doc_id", "b.band_idx", "b.band_key")
+    # hot-band cap (see BAND_CAP): singleton buckets produce no pairs,
+    # over-cap buckets would produce quadratically many
+    bkeep = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= BAND_CAP))
+        .select("band_idx", "band_key")
+    )
+    bk = bands.join(bkeep, ["band_idx", "band_key"])
 
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = bk.alias("a"), bk.alias("b")
     pairs = (
         a.join(
             b,
@@ -184,9 +207,17 @@ hsets AS (SELECT doc_id, {hs} AS hs FROM corpus),
 hnon AS (SELECT * FROM hsets WHERE len(hs) > 0),
 sigs AS (SELECT doc_id, hs, {sig} AS sig FROM hnon),
 bands AS ({band_keys}),
+bkeep AS (
+  SELECT band_idx, band_key FROM bands
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND {BAND_CAP}
+),
+bk AS (
+  SELECT b.* FROM bands b JOIN bkeep k
+    ON b.band_idx = k.band_idx AND b.band_key = k.band_key
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM bk a JOIN bk b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
 ),
@@ -205,33 +236,45 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {MINHASH_JACCARD_T}
 # --- 3. SimHash ------------------------------------------------------------
 
 def simhash_dedup(corpus: DataFrame) -> DataFrame:
-    """30-bit SimHash over token hashes (frequency-weighted), 3x10-bit
-    band LSH, pairs at Hamming distance <= 3."""
+    """60-bit SimHash over widened word hashes (frequency-weighted),
+    4x15-bit band LSH with a hot-band cap, pairs at Hamming <= 3.
+
+    Pigeonhole: 3 bit errors cannot touch all 4 bands, so every true
+    pair shares at least one band exactly. The per-doc signature is a
+    single narrow-map array fold (aggregate over the word-hash array
+    with a 60-long accumulator) — no explode, no groupBy shuffle; the
+    only shuffles are the band-bucket count and the capped band
+    self-join."""
+    nb = H.SIMHASH_BITS
     tok = H.tokens("text", spark=True)
-    # stagewise + explode over an attribute (not the inline expr):
-    # InferFiltersFromGenerate would otherwise substitute the whole
-    # hash pipeline into an interpreted size()>0 predicate (see
-    # _hashes_df); the early cheap filter keeps semantics identical
-    toks = (
+    sums_expr = (
+        f"aggregate(wh2, array_repeat(0L, {nb}), (acc, h) -> "
+        f"zip_with(acc, transform(sequence(0, {nb - 1}), "
+        f"j -> 2L * (shiftright(h, j) % 2L) - 1L), (a, b) -> a + b))"
+    )
+    simhash_expr = (
+        f"aggregate(sequence(0, {nb - 1}), 0L, (acc, j) -> "
+        f"acc + CASE WHEN element_at(sums, j + 1) > 0 "
+        f"THEN shiftleft(1L, j) ELSE 0L END)"
+    )
+    # stagewise columns + early cheap filter + localCheckpoint before
+    # the explode consumer: same InferFiltersFromGenerate guard as
+    # _hashes_df (the alternative re-runs the whole signature pipeline
+    # inside an interpreted filter predicate)
+    sims = (
         corpus.select("doc_id", F.expr(tok).alias("toks"))
         .filter(F.size("toks") >= 1)
         .select("doc_id", F.expr(H.hash_array("toks", spark=True)).alias("wh"))
+        .select("doc_id", F.expr(f"transform(wh, h -> {H.widen_hash('h', True)})").alias("wh2"))
+        .select("doc_id", F.expr(sums_expr).alias("sums"))
+        .select("doc_id", F.expr(simhash_expr).alias("simhash"))
+        .repartition("doc_id")
         .localCheckpoint(eager=False)
-        .select("doc_id", F.explode("wh").alias("h"))
     )
-    bit_sums = [
-        F.sum(F.expr(f"2L * ((h div {2 ** j}L) % 2L) - 1L")).alias(f"s{j}")
-        for j in range(H.SIMHASH_BITS)
-    ]
-    sim = toks.groupBy("doc_id").agg(*bit_sums)
-    simhash = None
-    for j in range(H.SIMHASH_BITS):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("long")).otherwise(F.lit(0).cast("long"))
-        simhash = term if simhash is None else simhash + term
-    sim = sim.select("doc_id", simhash.alias("simhash"))
 
     shift = 2 ** H.SIMHASH_BAND_BITS
-    bands = sim.select(
+    n_bands = H.SIMHASH_BITS // H.SIMHASH_BAND_BITS
+    bands = sims.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -241,13 +284,20 @@ def simhash_dedup(corpus: DataFrame) -> DataFrame:
                         F.lit(j).alias("band_idx"),
                         F.expr(f"(simhash div {shift ** j}L) % {shift}L").alias("band_val"),
                     )
-                    for j in range(H.SIMHASH_BITS // H.SIMHASH_BAND_BITS)
+                    for j in range(n_bands)
                 ]
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    bkeep = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= BAND_CAP))
+        .select("band_idx", "band_val")
+    )
+    bk = bands.join(bkeep, ["band_idx", "band_val"])
 
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = bk.alias("a"), bk.alias("b")
     return (
         a.join(
             b,
@@ -268,8 +318,9 @@ def simhash_dedup(corpus: DataFrame) -> DataFrame:
 def simhash_oracle(corpus_cte: str) -> str:
     tok = H.tokens("text", spark=False)
     harr = H.hash_array(tok, spark=False)
+    wide_harr = f"list_transform({harr}, h -> {H.widen_hash('h', False)})"
     bit_sums = ",\n         ".join(
-        f"SUM(2 * ((h // {2 ** j}) % 2) - 1) AS s{j}" for j in range(H.SIMHASH_BITS)
+        f"SUM(2 * ((h >> {j}) & 1) - 1) AS s{j}" for j in range(H.SIMHASH_BITS)
     )
     simhash = " + ".join(
         f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(H.SIMHASH_BITS)
@@ -281,14 +332,22 @@ def simhash_oracle(corpus_cte: str) -> str:
         for j in range(n_bands)
     )
     return f"""WITH {corpus_cte},
-toks AS (SELECT doc_id, UNNEST({harr}) AS h FROM corpus),
+toks AS (SELECT doc_id, UNNEST({wide_harr}) AS h FROM corpus),
 sums AS (SELECT doc_id, {bit_sums} FROM toks GROUP BY doc_id),
 sims AS (SELECT doc_id, CAST({simhash} AS BIGINT) AS simhash FROM sums),
 bands AS ({bands}),
+bkeep AS (
+  SELECT band_idx, band_val FROM bands
+  GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND {BAND_CAP}
+),
+bk AS (
+  SELECT b.* FROM bands b JOIN bkeep k
+    ON b.band_idx = k.band_idx AND b.band_val = k.band_val
+),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-  FROM bands a JOIN bands b
+  FROM bk a JOIN bk b
     ON a.band_idx = b.band_idx AND a.band_val = b.band_val
    AND a.doc_id < b.doc_id
 )
@@ -384,54 +443,138 @@ def load_emb_corpus(spark, sf_dir: str) -> DataFrame:
     return base.unionByName(pert)
 
 
-def embedding_dup_pairs(embc: DataFrame) -> DataFrame:
-    """Exact cosine near-dup pairs (cos >= 0.98) via broadcast GEMM.
+# Multi-table random-hyperplane LSH for candidate generation:
+# EMB_LSH_TABLES independent tables of EMB_LSH_PLANES sign bits each.
+# A pair is a candidate iff it collides in >= 1 table. At the 0.98
+# threshold (theta ~ 0.20 rad, per-plane agreement ~ 0.936) per-pair
+# miss probability is (1 - 0.936^12)^12 ~ 3e-6; empirically 12 tables
+# catch 50/50 planted pairs at sf0.01 and 200/200 at sf0.1 (8 tables
+# missed one — the planted pairs share one fixed perturbation delta,
+# so their misses are correlated and the tail is fatter than the
+# independent-pairs estimate). The whole scheme is deterministic, so
+# the oracle (which mirrors the bucketing verbatim) agrees exactly.
+# Planes-per-table scales as ~log2(N/target_bucket): 12 bits = 4096
+# buckets/table fits the bench corpus; a 100 TB corpus raises
+# EMB_LSH_PLANES, not the algorithm.
+EMB_LSH_TABLES = 12
+EMB_LSH_PLANES = 12
 
-    The normalized b-side matrix (Nx64 doubles) is broadcast to the
-    executors; each Arrow batch of the a-side computes one
-    ``A_batch @ B.T`` BLAS call inside mapInPandas — the vectorized
-    pandas/Arrow pattern the engine mandates for numeric kernels
-    (15M pair-folds in JVM expressions measured 6x slower). At 100 TB
-    the broadcast side is blocked (loop over B-chunks) or replaced by
-    the LSH-bucketed candidate generation (similarity.ann_lsh); the
-    per-block kernel is unchanged."""
+
+def _emb_bucket_expr(emb: str, t: int, spark: bool) -> str:
+    """Sign-bucket id of table `t`: bit p set iff dot(v, plane) > 0,
+    planes drawn from the deterministic lattice (hashing.lsh_plane)."""
+    terms = []
+    for p in range(EMB_LSH_PLANES):
+        j = t * EMB_LSH_PLANES + p
+        dot = H.dot_fold(emb, H.plane_literal(j, spark), spark)
+        terms.append(f"CASE WHEN {dot} > 0 THEN {2 ** p} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def embedding_dup_pairs(embc: DataFrame) -> DataFrame:
+    """Cosine near-dup pairs (cos >= 0.98): multi-table hyperplane-LSH
+    candidate generation + exact cosine verify, fully distributed.
+
+    No driver-side collect and no all-pairs kernel: the corpus is
+    bucketed per LSH table (narrow map), candidates come from per-table
+    bucket self-joins (shuffle on the bucket key only), and the verify
+    stage is two equi-joins on vec_id computing the cosine as the same
+    sequential JVM fold the oracle uses — bit-identical doubles, no
+    rounding-mode mismatch (the previous GEMM kernel summed in a
+    different order and leaned on 6-dp rounding).
+
+    Bucket bits are computed in one numpy GEMM per Arrow batch inside
+    mapInPandas (the plane matrix is 144x64 — shipped with the
+    closure, constant memory, nothing driver-side): 144 sign dots per
+    vector as interpreted SQL fold lambdas measured ~20x slower than
+    the BLAS matmul. Sign agreement with the oracle's sequential fold
+    is exact unless a dot lands within float-reorder epsilon of 0
+    (median |dot| ~ 0.6 here; probability ~ 1e-12 per dot)."""
     import numpy as np
     import pandas as pd
 
-    pdf = embc.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    M = np.stack(pdf["emb"].to_numpy()).astype("float64")
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    bc = embc.sparkSession.sparkContext.broadcast((ids, M))
+    t_, p_ = EMB_LSH_TABLES, EMB_LSH_PLANES
+    planes = np.array([H.lsh_plane(j) for j in range(t_ * p_)])
+    pow2 = 2 ** np.arange(p_, dtype="int64")
 
-    def gen(batches):
-        b_ids, B = bc.value
+    def bucketize(batches):
         for batch in batches:
             if not len(batch):
                 continue
-            a_ids = batch["vec_id"].to_numpy()
-            A = np.stack(batch["emb"].to_numpy()).astype("float64")
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            S = A @ B.T
-            ai, bi = np.nonzero((S >= COSINE_DUP_T) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai].astype("int64"),
-                    "vec_b": b_ids[bi].astype("int64"),
-                    "cos_sim": np.round(S[ai, bi], 6),
-                }
-            )
+            E = np.stack(batch["emb"].to_numpy()).astype("float64")
+            S = (E @ planes.T > 0).reshape(len(E), t_, p_)
+            bks = (S * pow2).sum(axis=2)
+            out = pd.DataFrame({"vec_id": batch["vec_id"], "emb": batch["emb"]})
+            for t in range(t_):
+                out[f"b{t}"] = bks[:, t]
+            yield out
 
-    return embc.mapInPandas(gen, schema="vec_a long, vec_b long, cos_sim double")
+    schema = "vec_id long, emb array<double>, " + ", ".join(
+        f"b{t} long" for t in range(t_)
+    )
+    withb = (
+        embc.select("vec_id", "emb")
+        .mapInPandas(bucketize, schema=schema)
+        .repartition("vec_id")
+        .localCheckpoint(eager=False)
+    )
+
+    buckets = withb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("t"), F.col(f"b{t}").alias("bk"))
+                    for t in range(EMB_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "tb.t", "tb.bk")
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = withb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
+    eb = withb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
+    dot = H.dot_fold("emb_a", "emb_b", spark=True)
+    nrm_a = H.norm_fold("emb_a", spark=True)
+    nrm_b = H.norm_fold("emb_b", spark=True)
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos_raw", F.expr(f"{dot} / (sqrt({nrm_a}) * sqrt({nrm_b}))"))
+        .filter(F.col("cos_raw") >= COSINE_DUP_T)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+    )
 
 
 def embedding_dup_oracle() -> str:
     dot = H.dot_fold("a.emb", "b.emb", spark=False)
     nf = H.norm_fold("emb", spark=False)
+    bucket_cols = ",\n           ".join(
+        f"{_emb_bucket_expr('emb', t, spark=False)} AS b{t}" for t in range(EMB_LSH_TABLES)
+    )
+    any_match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(EMB_LSH_TABLES))
     return f"""WITH {EMB_CORPUS_CTE},
-nrms AS (SELECT vec_id, emb, {nf} AS nrm FROM embc)
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+wb AS (SELECT vec_id, emb, {nf} AS nrm,
+           {bucket_cols}
+       FROM embc),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM wb a JOIN wb b ON a.vec_id < b.vec_id AND ({any_match})
+)
+SELECT c.vec_a, c.vec_b,
        ROUND({dot} / (sqrt(a.nrm) * sqrt(b.nrm)), 6) AS cos_sim
-FROM nrms a JOIN nrms b ON a.vec_id < b.vec_id
+FROM cand c
+JOIN wb a ON a.vec_id = c.vec_a
+JOIN wb b ON b.vec_id = c.vec_b
 WHERE {dot} / (sqrt(a.nrm) * sqrt(b.nrm)) >= {COSINE_DUP_T}
 """

@@ -41,34 +41,78 @@ MINHASH_ROWS = 2
 MINHASH_A = [(i * 2654435761 + 40503) % (P - 1) + 1 for i in range(MINHASH_K)]
 MINHASH_B = [(i * 998244353 + 12289) % P for i in range(MINHASH_K)]
 
-# SimHash: 30-bit signature (fits exact int arithmetic in both
-# dialects), 3 bands x 10 bits for candidate generation.
-SIMHASH_BITS = 30
-SIMHASH_BAND_BITS = 10
+# SimHash: 60-bit signature (packed from two independent 30-bit
+# streams — exact int arithmetic in both dialects), 4 bands x 15 bits
+# for candidate generation. Pigeonhole: Hamming distance <= 3 cannot
+# touch all 4 bands, so every true pair collides in >= 1 band.
+# 15-bit bands give 32,768 distinct values per band — a 30-bit/10-bit
+# scheme caps the keyspace at 1,024 per band, making band buckets grow
+# O(N/1024) and the self-join quadratic at corpus scale.
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
 
-# Random-hyperplane LSH for embeddings: N_PLANES planes over DIM dims,
-# components are a deterministic pseudo-random lattice in [-0.5, 0.5).
+# Random-hyperplane LSH for embeddings: deterministic seeded-PCG64
+# normal planes. The planes are materialized as SQL literals in BOTH
+# dialects (they never need to be SQL-generated), so true gaussian
+# isotropy is free — an arithmetic lattice here is NOT acceptable:
+# lattice "planes" are near-shifted copies of each other, so
+# multi-table LSH tables become correlated and a pair missed by one
+# table is likely missed by all (observed: a cos=0.9938 planted pair
+# missed by 12 lattice tables that independent planes catch).
 EMB_DIM = 64
 N_PLANES = 8
 
 
 def lsh_plane(j: int, dim: int = EMB_DIM) -> list[float]:
-    return [(((j * dim + d) * 2654435761 + 1013904223) % 1000003) / 1000003.0 - 0.5
-            for d in range(dim)]
+    import numpy as np
+
+    rng = np.random.default_rng(0xC0FFEE + j)
+    return [float(v) for v in np.round(rng.standard_normal(dim), 6)]
 
 
 # --- dialect expression builders -------------------------------------------
 # Each returns a SQL string; `spark=True` emits Spark SQL (for F.expr),
 # else DuckDB SQL. Identical arithmetic, identical fold order.
 
-def char_hash(e: str, spark: bool) -> str:
-    """Polynomial rolling hash of a string expression -> BIGINT in [0, P)."""
+def char_hash(e: str, spark: bool, mult: int = 31, mod: int = P) -> str:
+    """Polynomial rolling hash of a string expression -> BIGINT in [0, mod).
+
+    ASCII-only contract: Spark folds ``ascii(c)`` and DuckDB
+    ``unicode(c)``, which agree only for codepoints < 128. The synthetic
+    corpora are ASCII by construction (sources/generator.py); non-ASCII
+    text would diverge between the engine and the oracle. A production
+    deployment would fold UTF-8 bytes on both sides instead."""
     if spark:
         return (f"aggregate(filter(split({e}, ''), c -> c <> ''), 0L, "
-                f"(acc, c) -> (acc * 31L + ascii(c)) % {P}L)")
+                f"(acc, c) -> (acc * {mult}L + ascii(c)) % {mod}L)")
     return (f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
             f"list_transform(list_filter(string_split_regex({e}, ''), c -> c <> ''), "
-            f"c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * 31 + c) % {P})")
+            f"c -> CAST(unicode(c) AS BIGINT))), (acc, c) -> (acc * {mult} + c) % {mod})")
+
+
+# Second independent modulus for the wide identity hash. P2 prime,
+# (P-1)*P2 + (P2-1) ~ 1e18 < 2^63, so the packed value stays in BIGINT.
+P2 = 999_999_937
+
+
+def char_hash_wide(e: str, spark: bool) -> str:
+    """~60-bit identity hash: two independent polynomial hashes
+    (different multiplier AND modulus) packed into one BIGINT as
+    ``h31_modP * P2 + h131_modP2``.
+
+    Identity keys (exact-dedup fingerprints, star surrogate keys) need
+    collision-free behavior at corpus scale; a single ~2^30 hash expects
+    birthday collisions from ~50k distinct keys. The reference uses
+    64-bit FarmHash/FNV-1a for exactly these keys
+    (/root/reference/internal/transform/asset.go:72-77,
+    offer_normalized.go:108-178); this is the portable dual-dialect
+    equivalent (~2^60 space: collision odds ~4e-6 at 10^6 distinct keys,
+    still <1% at 10^8). Keep the narrow 30-bit hashes only where
+    approximation is inherent (MinHash/SimHash shingles)."""
+    h1 = char_hash(e, spark, mult=31, mod=P)
+    h2 = char_hash(e, spark, mult=131, mod=P2)
+    suffix = "L" if spark else ""
+    return f"(({h1}) * {P2}{suffix} + ({h2}))"
 
 
 def tokens(e: str, spark: bool) -> str:
@@ -122,6 +166,17 @@ def shingle_hashes_from_words(wh: str, n: int, spark: bool) -> str:
     return (f"CASE WHEN len({wh}) >= {n} THEN "
             f"list_transform(generate_series(1, len({wh}) - {n - 1}), i -> {combo}) "
             f"ELSE []::BIGINT[] END")
+
+
+def widen_hash(h: str, spark: bool) -> str:
+    """Spread a 30-bit hash expression over ~60 bits: two independent
+    affine maps (different multiplier AND modulus) packed as
+    ``g1 * P2 + g2``. Used by SimHash so all 60 signature bits carry
+    signal (the raw word hash only has ~30 bits of entropy). Max value
+    (P-1)*P2 + (P2-1) ~ 1e18 < 2^63: BIGINT-safe in both dialects."""
+    s = "L" if spark else ""
+    return (f"(((({h}) * 1566083941{s} + 11{s}) % {P}{s}) * {P2}{s}"
+            f" + ((({h}) * 69069{s} + 13{s}) % {P2}{s}))")
 
 
 def minhash_sig(hashes: str, i: int, spark: bool) -> str:

@@ -161,7 +161,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         )
         .select(
             "doc_id",
-            F.expr(H.char_hash("norm", spark=True)).alias("fp64"),
+            F.expr(H.char_hash_wide("norm", spark=True)).alias("fp64"),
             F.expr(
                 f"array_min({H.shingle_hashes_from_words('wh', 3, spark=True)})"
             ).alias("min_shingle_hash"),
@@ -174,7 +174,7 @@ def fingerprint_oracle(corpus_cte: str) -> str:
     norm = f"array_to_string({tok}, ' ')"
     sh = H.shingle_hashes_from_words("wh", 3, spark=False)
     return f"""WITH {corpus_cte},
-whs AS (SELECT doc_id, {H.char_hash(norm, spark=False)} AS fp64,
+whs AS (SELECT doc_id, {H.char_hash_wide(norm, spark=False)} AS fp64,
                {H.hash_array(tok, spark=False)} AS wh
         FROM corpus)
 SELECT doc_id, fp64, list_min({sh}) AS min_shingle_hash FROM whs

@@ -139,9 +139,9 @@ def session_oracle_sql(gap_sql: str = "INTERVAL 8 HOUR") -> str:
            MIN(ts) AS session_start,
            MAX(ts) + {gap_sql} AS session_end,
            COUNT(*) AS turn_count,
-           SUM(CASE WHEN role='user' THEN 1 ELSE 0 END) AS user_turns,
-           SUM(CASE WHEN role='assistant' THEN 1 ELSE 0 END) AS assistant_turns,
-           SUM(CASE WHEN role='tool' THEN 1 ELSE 0 END) AS tool_turns,
+           CAST(SUM(CASE WHEN role='user' THEN 1 ELSE 0 END) AS BIGINT) AS user_turns,
+           CAST(SUM(CASE WHEN role='assistant' THEN 1 ELSE 0 END) AS BIGINT) AS assistant_turns,
+           CAST(SUM(CASE WHEN role='tool' THEN 1 ELSE 0 END) AS BIGINT) AS tool_turns,
            COUNT(DISTINCT tool) AS distinct_tools,
            MIN(turn_idx) AS first_turn_idx,
            MAX(turn_idx) AS last_turn_idx

@@ -34,13 +34,14 @@ from stellar_etl_spark.functions import hashing as H
 def normalize_star(df: DataFrame) -> DataFrame:
     """Tool-turn fact table with surrogate keys (FactOfferEvent analog).
 
-    conv_key/tool_key are polynomial hashes of the natural keys —
-    deterministic across engines and runs (offer_normalized.go's FNV
-    pattern, :108-147)."""
+    conv_key/tool_key are ~60-bit wide polynomial hashes of the natural
+    keys — deterministic across engines and runs, and wide enough that
+    birthday collisions don't merge distinct conversations
+    (offer_normalized.go's 64-bit FNV pattern, :108-147)."""
     return df.filter(F.col("tool").isNotNull()).select(
-        F.expr(H.char_hash("conv_id", spark=True)).alias("conv_key"),
+        F.expr(H.char_hash_wide("conv_id", spark=True)).alias("conv_key"),
         "conv_id",
-        F.expr(H.char_hash("tool", spark=True)).alias("tool_key"),
+        F.expr(H.char_hash_wide("tool", spark=True)).alias("tool_key"),
         "tool",
         "turn_idx",
         "ts",
@@ -60,8 +61,8 @@ NORMALIZE_ORACLE_SQL_TEMPLATE = """
 
 def normalize_oracle_sql() -> str:
     return NORMALIZE_ORACLE_SQL_TEMPLATE.format(
-        conv_hash=H.char_hash("conv_id", spark=False),
-        tool_hash=H.char_hash("tool", spark=False),
+        conv_hash=H.char_hash_wide("conv_id", spark=False),
+        tool_hash=H.char_hash_wide("tool", spark=False),
     )
 
 
@@ -80,7 +81,10 @@ def tool_sequences(df: DataFrame) -> DataFrame:
         df.filter(F.col("tool").isNotNull())
         .groupBy("conv_id")
         .agg(
-            seq.alias("tools"),
+            # serialized scalar, not ARRAY<STRING>: the driver's pandas
+            # canonicalizer sorts/hashes every column and list cells are
+            # unhashable; '|' never occurs in tool names
+            F.concat_ws("|", seq).alias("tools"),
             F.count(F.lit(1)).cast("long").alias("n_tool_turns"),
             F.min("turn_idx").alias("first_tool_turn"),
             F.max("turn_idx").alias("last_tool_turn"),
@@ -90,7 +94,7 @@ def tool_sequences(df: DataFrame) -> DataFrame:
 
 TOOL_SEQUENCES_ORACLE_SQL = """
     SELECT conv_id,
-           list(tool ORDER BY turn_idx) AS tools,
+           array_to_string(list(tool ORDER BY turn_idx, tool), '|') AS tools,
            COUNT(*) AS n_tool_turns,
            MIN(turn_idx) AS first_tool_turn,
            MAX(turn_idx) AS last_tool_turn
