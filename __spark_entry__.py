@@ -25,7 +25,16 @@ from stellar_etl_spark.functions import dedup as fdedup
 from stellar_etl_spark.functions import multimodal as fmm
 from stellar_etl_spark.functions import similarity as fsim
 from stellar_etl_spark.functions import text as ftext
-from stellar_etl_spark.operators import dims, pairs, rollups, sessions, skew, star, state
+from stellar_etl_spark.operators import (
+    dims,
+    exchange,
+    pairs,
+    rollups,
+    sessions,
+    skew,
+    star,
+    state,
+)
 from stellar_etl_spark.operators.enrich import enrich_turns
 from stellar_etl_spark.sources.transcripts import TRANSCRIPTS_CTE, load_transcripts
 
@@ -196,6 +205,22 @@ def _q_derived_events(spark, sf):
     return star.derived_events(_T(spark, sf))
 
 
+def _q_tool_event_details(spark, sf):
+    return star.tool_event_details(_T(spark, sf))
+
+
+def _q_successful_tool_calls(spark, sf):
+    return star.successful_tool_calls(_T(spark, sf))
+
+
+def _q_exchanges(spark, sf):
+    return exchange.exchanges(_T(spark, sf))
+
+
+def _q_conv_participants(spark, sf):
+    return dims.conv_participants(_T(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_enriched": _q_turns_enriched,
@@ -216,6 +241,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_tool_events": _q_fact_tool_events,
         "tool_sequences": _q_tool_sequences,
         "derived_events": _q_derived_events,
+        "tool_event_details": _q_tool_event_details,
+        "successful_tool_calls": _q_successful_tool_calls,
+        "exchanges": _q_exchanges,
+        "conv_participants": _q_conv_participants,
         # training-data pipeline ops (documents/embeddings)
         "doc_stats": _q_doc_stats,
         "doc_lang_id": _q_doc_lang_id,
@@ -287,6 +316,10 @@ def oracle_sql() -> dict[str, str]:
         "fact_tool_events": _W + star.normalize_oracle_sql().replace("FROM transcripts", "FROM transcripts", 1),
         "tool_sequences": _W + star.TOOL_SEQUENCES_ORACLE_SQL,
         "derived_events": _W + star.DERIVED_EVENTS_ORACLE_SQL,
+        "tool_event_details": _W + star.TOOL_EVENT_DETAILS_ORACLE_SQL,
+        "successful_tool_calls": _W + star.SUCCESSFUL_TOOL_CALLS_ORACLE_SQL,
+        "exchanges": _W + exchange.EXCHANGES_ORACLE_SQL,
+        "conv_participants": _W + dims.CONV_PARTICIPANTS_ORACLE_SQL,
         # training-data pipeline oracles
         "doc_stats": ftext.doc_stats_oracle(fcorpus.CORPUS_CTE),
         "doc_lang_id": ftext.lang_id_oracle(fcorpus.CORPUS_CTE),

@@ -72,6 +72,34 @@ EXPLODE_ORACLE_SQL = """
 """
 
 
+def conv_participants(df: DataFrame) -> DataFrame:
+    """Distinct participants (tools) per conversation, canonically
+    sorted and serialized — the dedupeParticipants analog
+    (/root/reference/internal/transform/operation.go:2235-2245:
+    distinct account ids per operation via a seen-map; here
+    array_distinct/collect_set + sort_array, A5 in SURVEY §2.4).
+
+    Serialized to a '|'-joined scalar for the same reason as
+    tool_sequences: the driver canonicalizer hashes every column."""
+    return (
+        df.filter(F.col("tool").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            F.concat_ws("|", F.sort_array(F.collect_set("tool"))).alias("participants"),
+            F.count_distinct("tool").cast("long").alias("n_participants"),
+        )
+    )
+
+
+CONV_PARTICIPANTS_ORACLE_SQL = """
+    SELECT conv_id,
+           array_to_string(list_sort(list(DISTINCT tool)), '|') AS participants,
+           COUNT(DISTINCT tool) AS n_participants
+    FROM transcripts WHERE tool IS NOT NULL
+    GROUP BY conv_id
+"""
+
+
 def top_convs(df: DataFrame, k: int = 10) -> DataFrame:
     """Top-k conversations by turn count (limit/early-exit analog, L1;
     deterministic tie-break on conv_id)."""

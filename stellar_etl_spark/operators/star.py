@@ -103,6 +103,97 @@ TOOL_SEQUENCES_ORACLE_SQL = """
 """
 
 
+def tool_event_details(df: DataFrame) -> DataFrame:
+    """Per-turn semi-structured ``details`` column — the
+    OperationOutput.OperationDetails analog (reference's largest
+    transform: the 27-type dispatch building map[string]interface{},
+    /root/reference/internal/transform/operation.go:584-1173, schema at
+    schema.go:142; EffectOutput.Details likewise schema.go:365).
+
+    Per-role dispatch builds a MAP<STRING,STRING> with role-specific
+    keys (F.create_map), serialized with F.to_json; `detail_kind` is
+    read back out of the JSON with F.from_json — the full map/json
+    scalar family (SURVEY §2.8) in one narrow codegen map. `status`
+    mirrors the reference's success-conditioned op handling: the source
+    event type rides inside `text` field 5, purchase -> ok /
+    error -> failed (mapOperationTrace's result-code mapping,
+    operation.go:168-231). All map values are strings so the JSON
+    rendering is engine-portable; the DuckDB oracle builds the exact
+    same compact JSON text."""
+    evt = F.split(F.col("text"), r"\|").getItem(4)
+    status = F.when(evt == "error", "failed").otherwise("ok")
+    tool_map = F.create_map(
+        F.lit("kind"), F.lit("tool_call"),
+        F.lit("tool"), F.coalesce(F.col("tool"), F.lit("")),
+        F.lit("status"), status,
+        F.lit("text_len"), F.length("text").cast("string"),
+    )
+    sys_map = F.create_map(F.lit("kind"), F.lit("system"))
+    msg_map = F.create_map(
+        F.lit("kind"), F.lit("message"),
+        F.lit("role"), F.col("role"),
+        F.lit("words"), F.size(F.split(F.trim("text"), r"\s+")).cast("string"),
+    )
+    dm = (
+        F.when(F.col("role") == "tool", tool_map)
+        .when(F.col("role") == "system", sys_map)
+        .otherwise(msg_map)
+    )
+    return df.select(
+        "conv_id", "turn_idx", "role", "tool", "ts", F.to_json(dm).alias("details")
+    ).withColumn(
+        "detail_kind",
+        F.from_json(F.col("details"), "map<string,string>").getItem("kind"),
+    )
+
+
+# Both dialects must render byte-identical compact JSON: Spark's
+# to_json(map) emits {"k":"v","k2":"v2"} (no spaces, insertion order),
+# which manual concatenation reproduces exactly — values here are
+# tool names / digits, so no JSON escaping can occur.
+_DETAILS_CASE_SQL = """CASE
+      WHEN role = 'tool' THEN
+        '{"kind":"tool_call","tool":"' || COALESCE(tool, '')
+        || '","status":"'
+        || CASE WHEN string_split(text, '|')[5] = 'error' THEN 'failed' ELSE 'ok' END
+        || '","text_len":"' || CAST(LENGTH(text) AS VARCHAR) || '"}'
+      WHEN role = 'system' THEN '{"kind":"system"}'
+      ELSE
+        '{"kind":"message","role":"' || role || '","words":"'
+        || CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS VARCHAR) || '"}'
+    END"""
+
+TOOL_EVENT_DETAILS_ORACLE_SQL = f"""
+    , d AS (
+      SELECT conv_id, turn_idx, role, tool, ts,
+             {_DETAILS_CASE_SQL} AS details
+      FROM transcripts
+    )
+    SELECT conv_id, turn_idx, role, tool, ts, details,
+           json_extract_string(details, '$.kind') AS detail_kind
+    FROM d
+"""
+
+
+def successful_tool_calls(df: DataFrame) -> DataFrame:
+    """Success-conditioned event filter (F6 analog — filterEvents keeps
+    events of successful contract calls only,
+    /root/reference/internal/transform/operation.go:1886-1895): tool
+    turns whose source event succeeded (status ok)."""
+    evt = F.split(F.col("text"), r"\|").getItem(4)
+    return (
+        df.filter((F.col("role") == "tool") & (evt == "purchase"))
+        .select("conv_id", "turn_idx", "tool", "ts")
+    )
+
+
+SUCCESSFUL_TOOL_CALLS_ORACLE_SQL = """
+    SELECT conv_id, turn_idx, tool, ts
+    FROM transcripts
+    WHERE role = 'tool' AND string_split(text, '|')[5] = 'purchase'
+"""
+
+
 def derived_events(df: DataFrame) -> DataFrame:
     """One turn -> N typed event rows with post-assigned event index
     (TransformEffect's collect-then-index pattern, effects.go:161-166).
