@@ -200,3 +200,35 @@ def test_sink_idempotent_epoch(spark, tmp_path):
     assert sink.write_epoch(7, {"t": df}) is True
     assert sink.write_epoch(7, {"t": spark.range(500).toDF("x")}) is False  # replay: no-op
     assert sink.read_table(spark, "t").count() == 5
+
+
+def test_snapshot_stream_equals_batch_compaction(spark, data_dir, tmp_path):
+    """A7/ST7: update-mode per-key snapshot stream; folding the
+    epoch-stamped deltas (latest epoch wins) must equal the batch
+    last-state compactor on the drained input."""
+    from stellar_etl_spark.operators.state import compact_last_state
+    from stellar_etl_spark.streaming.snapshot import (
+        read_final_snapshot,
+        start_snapshot_stream,
+    )
+
+    stream = read_transcript_stream(spark, data_dir, max_files_per_trigger=2,
+                                    with_lineage=False)
+    q = start_snapshot_stream(stream, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+                              CFG, query_name="snap")
+    assert q.awaitTermination(540), "snapshot stream did not finish within 540s"
+
+    final = read_final_snapshot(spark, str(tmp_path / "sink"))
+    batch = compact_last_state(read_transcript_batch(spark, data_dir))
+    cols = ["conv_id", "role", "last_turn_idx", "last_text", "last_tool",
+            "last_ts", "n_changes"]
+    assert _rows(final, cols) == _rows(batch, cols)
+
+    # genuinely incremental: multiple epochs committed, and the deltas
+    # across epochs exceed the final key count (keys re-emitted as they
+    # change — update-mode evidence, not a single terminal dump)
+    sink = EpochCommitSink(str(tmp_path / "sink"))
+    epochs = sink.committed_epochs()
+    assert len(epochs) >= 3
+    deltas = sink.read_table(spark, "snapshot")
+    assert deltas.count() > final.count()
