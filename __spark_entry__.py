@@ -186,7 +186,7 @@ def _q_ann_lsh(spark, sf):
 
 
 def _q_multimodal_meta(spark, sf):
-    return fmm.decode_metadata(_C(spark, sf))
+    return fmm.decode_metadata(_C(spark, sf), decoder=CFG.multimodal_decoder)
 
 
 def _q_multimodal_frames(spark, sf):

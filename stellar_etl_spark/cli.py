@@ -32,7 +32,15 @@ from stellar_etl_spark.config import EngineConfig
 
 
 def _tables(cfg: EngineConfig):
-    from stellar_etl_spark.operators import pairs, rollups, sessions, star, state
+    from stellar_etl_spark.operators import (
+        dims,
+        exchange,
+        pairs,
+        rollups,
+        sessions,
+        star,
+        state,
+    )
     from stellar_etl_spark.operators.enrich import enrich_turns
 
     return {
@@ -46,10 +54,19 @@ def _tables(cfg: EngineConfig):
         "fact_tool_events": star.normalize_star,
         "tool_sequences": star.tool_sequences,
         "derived_events": star.derived_events,
+        "tool_event_details": star.tool_event_details,
+        "exchanges": exchange.exchanges,
+        "conv_participants": dims.conv_participants,
     }
 
 
-def _apply_range(df: DataFrame, args) -> DataFrame:
+def _apply_range(df: DataFrame, args, streaming: bool = False) -> DataFrame:
+    """Event-time range restriction — applied identically to batch and
+    streaming inputs (a pushed-down ts predicate; in streaming it rides
+    ahead of the watermark). --limit is batch-only and deterministic:
+    rows are ordered by (conv_id, turn_idx) before the limit so
+    re-running a backfill with the same flags selects the same rows
+    (docs/backfill.md idempotence contract)."""
     from pyspark.sql import functions as F
 
     if args.start_ts:
@@ -57,7 +74,9 @@ def _apply_range(df: DataFrame, args) -> DataFrame:
     if args.end_ts:
         df = df.filter(F.col("ts") < args.end_ts)
     if args.limit and args.limit > 0:
-        df = df.limit(args.limit)
+        if streaming:
+            raise SystemExit("--limit is batch-only; not valid with --stream")
+        df = df.orderBy("conv_id", "turn_idx").limit(args.limit)
     return df
 
 
@@ -116,8 +135,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from stellar_etl_spark.streaming.source import read_transcript_stream
 
             def src():
-                return read_transcript_stream(
-                    spark, args.input, max_files_per_trigger=args.files_per_trigger
+                return _apply_range(
+                    read_transcript_stream(
+                        spark, args.input, max_files_per_trigger=args.files_per_trigger
+                    ),
+                    args,
+                    streaming=True,
                 )
 
             # row-local tables share ONE fan-out query/checkpoint (all-or-

@@ -35,6 +35,16 @@ class EngineConfig:
 
     # error handling (F7 in SURVEY §2.2)
     strict_errors: bool = False
+    # turn-validation guard implementation: "jvm" (codegen F.when chain)
+    # or "pandas" (Arrow-batched quarantine UDF — the template for guards
+    # built-ins can't express)
+    validator: str = "jvm"
+
+    # pluggable transform hooks (2.10 — the TransformContractDataStruct
+    # pattern, /root/reference/internal/transform/contract_data.go:33-46:
+    # function-valued config swapped per deployment). None -> the
+    # built-in deterministic stub decoder (functions/multimodal.py).
+    multimodal_decoder: object = None
 
     # skew (SURVEY §4: salted two-phase agg)
     salt_buckets: int = 16

@@ -81,13 +81,23 @@ def _fake_decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def decode_metadata(docs: DataFrame) -> DataFrame:
-    """Binary payload -> typed metadata via Arrow-batched mapInPandas."""
+def decode_metadata(docs: DataFrame, decoder=None) -> DataFrame:
+    """Binary payload -> typed metadata via Arrow-batched mapInPandas.
+
+    `decoder` is a pluggable pd.DataFrame -> pd.DataFrame batch
+    function (the TransformContractDataStruct pattern — function-valued
+    config, /root/reference/internal/transform/contract_data.go:33-46);
+    it must emit DECODED_SCHEMA columns. Defaults to the deterministic
+    stub `_fake_decode_batch`; a production deployment passes e.g. a
+    PIL/ffmpeg-backed callable (EngineConfig.multimodal_decoder) and
+    nothing else changes — schema, batching, partitioning are fixed
+    here."""
     binary = with_binary_payload(docs)
+    decode = decoder or _fake_decode_batch
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            yield _fake_decode_batch(batch)
+            yield decode(batch)
 
     return binary.mapInPandas(gen, schema=DECODED_SCHEMA)
 

@@ -50,6 +50,25 @@ def _validate_turn(
     return err
 
 
+def _validate_turn_jvm() -> F.Column:
+    """The same guards as a pure F.when chain — whole-stage codegen,
+    no Arrow round-trip. Identical precedence to the pandas UDF
+    (conv > idx > role > ts: the UDF assigns in reverse order so
+    earlier guards overwrite later ones)."""
+    role = F.col("role")
+    return (
+        F.when(
+            F.col("conv_id").isNull() | (F.length("conv_id") == 0), "empty conv_id"
+        )
+        .when(
+            F.col("turn_idx").isNull() | (F.col("turn_idx") < 0),
+            "negative or null turn_idx",
+        )
+        .when(role.isNull() | ~role.isin(*VALID_ROLES), "invalid role")
+        .when(F.col("ts").isNull(), "null ts")
+    )
+
+
 def enrich_turns(
     df: DataFrame,
     cfg: EngineConfig = DEFAULT,
@@ -59,11 +78,24 @@ def enrich_turns(
 
     Adds: turn_id (packed TOID analog), text_len, word_count, error.
     Works identically on batch and streaming DataFrames (no window
-    functions; everything row-local -> no shuffle at all, and the
-    whole projection stays inside one WholeStageCodegen span except
-    the Arrow-batched validation).
+    functions; everything row-local -> no shuffle at all).
+
+    cfg.validator picks the guard implementation: "jvm" (default —
+    the whole projection is one WholeStageCodegen span, zero Python)
+    or "pandas" (the Arrow-batched quarantine-UDF pattern, kept as the
+    template for guards F.* genuinely can't express). Both emit the
+    same error strings with the same precedence.
     """
     conv_num = conv_num if conv_num is not None else ids.conv_num_from_suffix("conv_id")
+    if cfg.validator == "pandas":
+        error = _validate_turn(
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.col("role"),
+            F.col("ts").isNotNull(),
+        )
+    else:
+        error = _validate_turn_jvm()
     out = df.select(
         "conv_id",
         "turn_idx",
@@ -74,12 +106,7 @@ def enrich_turns(
         ids.pack_turn_id(conv_num, "turn_idx").alias("turn_id"),
         F.length("text").alias("text_len"),
         F.size(F.split(F.trim("text"), r"\s+")).alias("word_count"),
-        _validate_turn(
-            F.col("conv_id"),
-            F.col("turn_idx"),
-            F.col("role"),
-            F.col("ts").isNotNull(),
-        ).alias("error"),
+        error.alias("error"),
     )
     return out
 

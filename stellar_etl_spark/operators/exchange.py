@@ -46,7 +46,9 @@ CLAIM_BITS = 12
 def exchanges(df: DataFrame) -> DataFrame:
     """transcripts -> pairwise exchange rows (one per tool turn that
     has an initiating user turn)."""
-    amount = F.split(F.col("text"), r"\|").getItem(5).cast("long")
+    # F.get: NULL-tolerant out-of-bounds (matches DuckDB list indexing;
+    # generator transcripts embed fewer text fields than events-derived)
+    amount = F.get(F.split(F.col("text"), r"\|"), 5).cast("long")
     wprev = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")

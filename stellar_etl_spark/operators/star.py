@@ -120,7 +120,9 @@ def tool_event_details(df: DataFrame) -> DataFrame:
     operation.go:168-231). All map values are strings so the JSON
     rendering is engine-portable; the DuckDB oracle builds the exact
     same compact JSON text."""
-    evt = F.split(F.col("text"), r"\|").getItem(4)
+    # F.get (not getItem): NULL-tolerant like DuckDB list indexing —
+    # transcripts from other sources may embed fewer text fields
+    evt = F.get(F.split(F.col("text"), r"\|"), 4)
     status = F.when(evt == "error", "failed").otherwise("ok")
     tool_map = F.create_map(
         F.lit("kind"), F.lit("tool_call"),
@@ -180,7 +182,7 @@ def successful_tool_calls(df: DataFrame) -> DataFrame:
     events of successful contract calls only,
     /root/reference/internal/transform/operation.go:1886-1895): tool
     turns whose source event succeeded (status ok)."""
-    evt = F.split(F.col("text"), r"\|").getItem(4)
+    evt = F.get(F.split(F.col("text"), r"\|"), 4)
     return (
         df.filter((F.col("role") == "tool") & (evt == "purchase"))
         .select("conv_id", "turn_idx", "tool", "ts")

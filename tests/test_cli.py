@@ -66,3 +66,47 @@ def test_cli_stream_windowed(spark, small_input, tmp_path):
     assert rc == 0
     got = EpochCommitSink(out).read_table(spark, "tool_rate")
     assert got.count() > 0
+
+
+def test_cli_stream_range_applied(spark, small_input, tmp_path):
+    """--start-ts/--end-ts must restrict streaming exports too (they
+    were previously silently ignored with --stream)."""
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    rc = cli.main(
+        ["export-turns", "--stream", "--input", small_input,
+         "--out", out, "--checkpoint", ckpt,
+         "--start-ts", "2026-01-01 06:00:00", "--end-ts", "2026-01-01 12:00:00"],
+        spark=spark,
+    )
+    assert rc == 0
+    rows = EpochCommitSink(out).read_table(spark, "turns").collect()
+    assert rows
+    assert all("2026-01-01 06:00:00" <= str(r.ts) < "2026-01-01 12:00:00" for r in rows)
+
+
+def test_cli_stream_limit_rejected(spark, small_input, tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["export-turns", "--stream", "--input", small_input,
+             "--out", str(tmp_path / "s"), "--checkpoint", str(tmp_path / "c"),
+             "--limit", "10"],
+            spark=spark,
+        )
+
+
+def test_cli_batch_limit_deterministic(spark, small_input, tmp_path):
+    """--limit orders by (conv_id, turn_idx) first: two runs with the
+    same flags export the same rows (backfill idempotence)."""
+    outs = []
+    for i in (1, 2):
+        out = str(tmp_path / f"out{i}")
+        rc = cli.main(
+            ["export-turns", "--input", small_input, "--out", out, "--limit", "50"],
+            spark=spark,
+        )
+        assert rc == 0
+        outs.append(sorted(
+            (r.conv_id, r.turn_idx) for r in spark.read.parquet(f"{out}/turns").collect()
+        ))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 50
