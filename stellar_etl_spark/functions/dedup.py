@@ -92,7 +92,7 @@ def _hashes_df(corpus: DataFrame) -> DataFrame:
         # the inverted-index path). The local checkpoint is the
         # bench-scale stand-in for materializing the signature table,
         # which is the correct 100 TB design anyway.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
 
@@ -240,36 +240,47 @@ def simhash_dedup(corpus: DataFrame) -> DataFrame:
     4x15-bit band LSH with a hot-band cap, pairs at Hamming <= 3.
 
     Pigeonhole: 3 bit errors cannot touch all 4 bands, so every true
-    pair shares at least one band exactly. The per-doc signature is a
-    single narrow-map array fold (aggregate over the word-hash array
-    with a 60-long accumulator) — no explode, no groupBy shuffle; the
-    only shuffles are the band-bucket count and the capped band
-    self-join."""
+    pair shares at least one band exactly. Bit sums use the round-1
+    proven shape — explode the widened word hashes and run 60 partial
+    SUM aggregates (map-side combine keeps shuffle traffic at one
+    60-long row per doc per partition). A nested
+    aggregate/zip_with/transform array fold was tried as a
+    shuffle-free alternative and measured ~40x slower: higher-order
+    lambdas evaluate interpreted, allocating two 60-element arrays per
+    word."""
     nb = H.SIMHASH_BITS
     tok = H.tokens("text", spark=True)
-    sums_expr = (
-        f"aggregate(wh2, array_repeat(0L, {nb}), (acc, h) -> "
-        f"zip_with(acc, transform(sequence(0, {nb - 1}), "
-        f"j -> 2L * (shiftright(h, j) % 2L) - 1L), (a, b) -> a + b))"
-    )
-    simhash_expr = (
-        f"aggregate(sequence(0, {nb - 1}), 0L, (acc, j) -> "
-        f"acc + CASE WHEN element_at(sums, j + 1) > 0 "
-        f"THEN shiftleft(1L, j) ELSE 0L END)"
-    )
     # stagewise columns + early cheap filter + localCheckpoint before
     # the explode consumer: same InferFiltersFromGenerate guard as
     # _hashes_df (the alternative re-runs the whole signature pipeline
-    # inside an interpreted filter predicate)
-    sims = (
+    # inside an interpreted explode-size predicate)
+    toks = (
         corpus.select("doc_id", F.expr(tok).alias("toks"))
         .filter(F.size("toks") >= 1)
         .select("doc_id", F.expr(H.hash_array("toks", spark=True)).alias("wh"))
-        .select("doc_id", F.expr(f"transform(wh, h -> {H.widen_hash('h', True)})").alias("wh2"))
-        .select("doc_id", F.expr(sums_expr).alias("sums"))
-        .select("doc_id", F.expr(simhash_expr).alias("simhash"))
+        .select(
+            "doc_id",
+            F.expr(f"transform(wh, h -> {H.widen_hash('h', True)})").alias("wh2"),
+        )
+        .localCheckpoint(eager=True)
+        .select("doc_id", F.explode("wh2").alias("h"))
+    )
+    bit_sums = [
+        F.sum(F.expr(f"2L * (shiftright(h, {j}) % 2L) - 1L")).alias(f"s{j}")
+        for j in range(nb)
+    ]
+    sim = toks.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for j in range(nb):
+        term = (
+            F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        simhash = term if simhash is None else simhash + term
+    sims = (
+        sim.select("doc_id", simhash.alias("simhash"))
         .repartition("doc_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     shift = 2 ** H.SIMHASH_BAND_BITS
@@ -516,7 +527,7 @@ def embedding_dup_pairs(embc: DataFrame) -> DataFrame:
         embc.select("vec_id", "emb")
         .mapInPandas(bucketize, schema=schema)
         .repartition("vec_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
     buckets = withb.select(

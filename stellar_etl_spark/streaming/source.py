@@ -51,6 +51,52 @@ def read_transcript_stream(
     return df
 
 
+def read_rate_transcript_stream(
+    spark: SparkSession,
+    rows_per_second: int = 100,
+    n_convs: int = 10,
+) -> DataFrame:
+    """Alternate live source (S2 analog — the captive-core backend,
+    /root/reference/internal/utils/main.go:921-943, is the reference's
+    second, self-generating source): Spark's built-in rate source
+    mapped deterministically onto the transcript schema. Every
+    downstream operator is source-agnostic, so the whole pipeline runs
+    against this unbounded generator — used by tests to prove the
+    engine doesn't depend on the file source's replay semantics.
+
+    Mapping is a pure function of the rate `value` (the TOID lesson —
+    never nondeterministic ids): conv = value % n_convs,
+    turn_idx = value / n_convs, role cycles user/assistant/tool,
+    event time = the rate source's own timestamp."""
+    v = F.col("value")
+    role = (
+        F.when(v % 3 == 0, "user")
+        .when(v % 3 == 1, "assistant")
+        .otherwise("tool")
+    )
+    tool = F.when(
+        v % 3 == 2, F.concat(F.lit("tool_"), (v % 8).cast("string"))
+    )
+    conv_id = F.concat(F.lit("c"), (v % n_convs).cast("string"))
+    turn_idx = (v / n_convs).cast("int")
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            conv_id.alias("conv_id"),
+            turn_idx.alias("turn_idx"),
+            role.alias("role"),
+            F.concat_ws(
+                "|", role, F.coalesce(tool, F.lit("")), conv_id,
+                turn_idx.cast("string"),
+            ).alias("text"),
+            tool.alias("tool"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+
+
 def read_transcript_batch(spark: SparkSession, path: str) -> DataFrame:
     """Batch read of the same directory (for batch==streaming equality
     tests — the golden determinism gate in SURVEY §5)."""
