@@ -221,6 +221,10 @@ def _q_conv_participants(spark, sf):
     return dims.conv_participants(_T(spark, sf))
 
 
+def _q_state_conv_tools(spark, sf):
+    return state.state_conv_tools(_T(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_enriched": _q_turns_enriched,
@@ -245,6 +249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "successful_tool_calls": _q_successful_tool_calls,
         "exchanges": _q_exchanges,
         "conv_participants": _q_conv_participants,
+        "state_conv_tools": _q_state_conv_tools,
         # training-data pipeline ops (documents/embeddings)
         "doc_stats": _q_doc_stats,
         "doc_lang_id": _q_doc_lang_id,
@@ -320,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "successful_tool_calls": _W + star.SUCCESSFUL_TOOL_CALLS_ORACLE_SQL,
         "exchanges": _W + exchange.EXCHANGES_ORACLE_SQL,
         "conv_participants": _W + dims.CONV_PARTICIPANTS_ORACLE_SQL,
+        "state_conv_tools": _W + state.STATE_CONV_TOOLS_ORACLE_SQL,
         # training-data pipeline oracles
         "doc_stats": ftext.doc_stats_oracle(fcorpus.CORPUS_CTE),
         "doc_lang_id": ftext.lang_id_oracle(fcorpus.CORPUS_CTE),

@@ -92,6 +92,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--start-ts", help="inclusive event-time lower bound")
         sp.add_argument("--end-ts", help="exclusive event-time upper bound")
         sp.add_argument("--limit", type=int, default=-1, help="row limit (batch only)")
+        sp.add_argument(
+            "--format", default="parquet", choices=["parquet", "json"],
+            help="batch output format (json = JSONL, the reference's primary "
+                 "sink, cmd/command_utils.go:55-87; one JSON object per line)",
+        )
         sp.add_argument("--strict", action="store_true", help="fail on transform errors")
         sp.add_argument("--master", default="local[*]")
         sp.add_argument("--session-gap", default="8 hours")
@@ -174,7 +179,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             df = _apply_range(read_transcript_batch(spark, args.input), args)
             for name, fn in selected.items():
-                fn(df).write.mode("overwrite").parquet(f"{args.out}/{name}")
+                fn(df).write.mode("overwrite").format(args.format).save(
+                    f"{args.out}/{name}"
+                )
         return 0
     finally:
         if own_session:

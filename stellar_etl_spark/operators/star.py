@@ -92,6 +92,24 @@ def tool_sequences(df: DataFrame) -> DataFrame:
     )
 
 
+def tool_sequences_array(df: DataFrame) -> DataFrame:
+    """API variant keeping the sequence as ARRAY<STRING> (the driver
+    query serializes it because the harness hashes every column; array
+    consumers — n-gram models, sequence mining — use this form)."""
+    seq = F.transform(
+        F.sort_array(F.collect_list(F.struct("turn_idx", "tool"))),
+        lambda s: s["tool"],
+    )
+    return (
+        df.filter(F.col("tool").isNotNull())
+        .groupBy("conv_id")
+        .agg(
+            seq.alias("tools"),
+            F.count(F.lit(1)).cast("long").alias("n_tool_turns"),
+        )
+    )
+
+
 TOOL_SEQUENCES_ORACLE_SQL = """
     SELECT conv_id,
            array_to_string(list(tool ORDER BY turn_idx, tool), '|') AS tools,

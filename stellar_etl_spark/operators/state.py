@@ -59,6 +59,51 @@ COMPACT_ORACLE_SQL = """
 """
 
 
+def compact_last_state_by(df: DataFrame, *keys: str) -> DataFrame:
+    """Generic per-key last-state compaction — the per-entry-type
+    projection family (P7-P9): the reference runs one ChangeCompactor +
+    Transform per entry type, each keyed differently (accounts by
+    address, trustlines by (account, asset) `trustline.go:18-107`,
+    offers by (seller, offer_id) `offer.go:13-103`...). One generic
+    operator parameterized by the key columns replaces the ~10
+    hand-written Go loops; the projection downstream picks the typed
+    columns."""
+    latest = F.max_by(
+        F.struct("turn_idx", "role", "text", "tool", "ts"), F.col("turn_idx")
+    ).alias("latest")
+    return (
+        df.groupBy(*keys)
+        .agg(latest, F.count(F.lit(1)).cast("long").alias("n_changes"))
+        .select(
+            *keys,
+            F.col("latest.turn_idx").alias("last_turn_idx"),
+            F.col("latest.ts").alias("last_ts"),
+            "n_changes",
+        )
+    )
+
+
+def state_conv_tools(df: DataFrame) -> DataFrame:
+    """Per-(conversation, tool) usage state — the trustline-table
+    analog (two-level key (account, asset),
+    /root/reference/internal/transform/trustline.go:18-107): for each
+    conv x tool, the latest invocation and use count."""
+    return compact_last_state_by(
+        df.filter(F.col("tool").isNotNull()), "conv_id", "tool"
+    )
+
+
+STATE_CONV_TOOLS_ORACLE_SQL = """
+    SELECT conv_id, tool,
+           MAX_BY(turn_idx, turn_idx) AS last_turn_idx,
+           MAX_BY(ts, turn_idx)       AS last_ts,
+           COUNT(*)                   AS n_changes
+    FROM transcripts
+    WHERE tool IS NOT NULL
+    GROUP BY conv_id, tool
+"""
+
+
 def asof_last_tool(df: DataFrame) -> DataFrame:
     """For every turn: the most recent tool used at or before it in the
     conversation (as-of join via window frame, W5 in SURVEY §2.5)."""

@@ -110,3 +110,27 @@ def test_cli_batch_limit_deterministic(spark, small_input, tmp_path):
         ))
     assert outs[0] == outs[1]
     assert len(outs[0]) == 50
+
+
+def test_cli_batch_json_format(spark, small_input, tmp_path):
+    """S5 JSONL sink analog: --format json writes one JSON object per
+    line, readable back with identical rows."""
+    import glob
+    import json as jsonlib
+
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["export-last-state", "--input", small_input, "--out", out,
+         "--format", "json"],
+        spark=spark,
+    )
+    assert rc == 0
+    files = glob.glob(f"{out}/last_state/part-*.json")
+    assert files
+    with open(files[0]) as f:
+        first = jsonlib.loads(f.readline())
+    assert "conv_id" in first and "n_changes" in first
+    n_json = spark.read.json(f"{out}/last_state").count()
+    from stellar_etl_spark.operators.state import compact_last_state
+    assert n_json == compact_last_state(
+        read_transcript_batch(spark, small_input)).count()
