@@ -50,10 +50,13 @@ def ensure_input() -> int:
     if os.path.exists(marker):
         with open(marker) as f:
             return int(f.read())
-    import glob
+    # remove stale data AND stale .complete-* markers (glob("*") misses
+    # dotfiles — a stale marker over an empty dir breaks the child read)
+    if os.path.isdir(INPUT_DIR):
+        import shutil
 
-    for p in glob.glob(os.path.join(INPUT_DIR, "*")):
-        os.remove(p)
+        shutil.rmtree(INPUT_DIR)
+    os.makedirs(INPUT_DIR, exist_ok=True)
     from stellar_etl_spark.sources.generator import write_transcripts
 
     n = write_transcripts(INPUT_DIR, n_convs=N_CONVS, n_files=64)
@@ -70,7 +73,12 @@ def child(cpus: int) -> None:
     from stellar_etl_spark.operators import pairs, rollups, sessions
     from stellar_etl_spark.operators.enrich import enrich_turns
 
-    cfg = EngineConfig(session_gap="30 minutes")
+    # validator="pandas" pins the documented job shape: the scaling job
+    # deliberately includes the Arrow-batched pandas-UDF stage (the
+    # north-rule-mandated pattern) — the engine's default moved to the
+    # JVM F.when chain in round 2, which would silently drop the Python
+    # worker pool from the job under test
+    cfg = EngineConfig(session_gap="30 minutes", validator="pandas")
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(f"scale-bench-{cpus}")

@@ -105,3 +105,23 @@ def read_transcript_batch(spark: SparkSession, path: str) -> DataFrame:
         .parquet(path)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
+
+
+def read_transcript_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Alternate batch source (S3 analog — the history-archive backend
+    is the reference's second *batch* source, /root/reference/internal/
+    utils/main.go:760-779): JSONL transcripts, one object per line —
+    the same format the CLI's `--format json` sink emits, so an export
+    can be re-ingested losslessly. Schema explicit, never inferred
+    (the engine's fixed-schema rule, SURVEY §1.2)."""
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+    return spark.read.schema(schema).json(path)

@@ -134,3 +134,22 @@ def test_cli_batch_json_format(spark, small_input, tmp_path):
     from stellar_etl_spark.operators.state import compact_last_state
     assert n_json == compact_last_state(
         read_transcript_batch(spark, small_input)).count()
+
+
+def test_jsonl_roundtrip_source(spark, small_input, tmp_path):
+    """S3 alternate-batch-source analog: a JSONL export re-ingested via
+    read_transcript_jsonl equals the original transcript rows."""
+    from stellar_etl_spark.streaming.source import read_transcript_jsonl
+
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["export-turns", "--input", small_input, "--out", out, "--format", "json"],
+        spark=spark,
+    )
+    assert rc == 0
+    back = read_transcript_jsonl(spark, f"{out}/turns")
+    orig = read_transcript_batch(spark, small_input)
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    got = sorted(tuple(r[c] for c in cols) for r in back.select(*cols).collect())
+    want = sorted(tuple(r[c] for c in cols) for r in orig.select(*cols).collect())
+    assert got == want
