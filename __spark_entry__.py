@@ -95,7 +95,9 @@ def _q_initiating_user(spark, sf):
 
 
 def _q_dim_tools(spark, sf):
-    return dims.dim_tools(_T(spark, sf))
+    # rank surrogate: DuckDB has no xxhash64, so the oracle-parity form
+    # keeps the portable dense rank (engine default is the hash)
+    return dims.dim_tools(_T(spark, sf), surrogate="rank")
 
 
 def _q_explode_tokens(spark, sf):

@@ -55,6 +55,8 @@ def _tables(cfg: EngineConfig):
         "tool_sequences": star.tool_sequences,
         "derived_events": star.derived_events,
         "tool_event_details": star.tool_event_details,
+        "successful_tool_calls": star.successful_tool_calls,
+        "state_conv_tools": state.state_conv_tools,
         "exchanges": exchange.exchanges,
         "conv_participants": dims.conv_participants,
     }
@@ -98,6 +100,12 @@ def build_parser() -> argparse.ArgumentParser:
                  "sink, cmd/command_utils.go:55-87; one JSON object per line)",
         )
         sp.add_argument("--strict", action="store_true", help="fail on transform errors")
+        sp.add_argument(
+            "--extra-field", action="append", default=[], metavar="K=V",
+            help="append a constant column K with value V to every exported "
+                 "row; repeatable (the reference's --extra-fields flag, "
+                 "cmd/command_utils.go:69-71, internal/utils/main.go:237)",
+        )
         sp.add_argument("--master", default="local[*]")
         sp.add_argument("--session-gap", default="8 hours")
         sp.add_argument("--watermark", default="10 minutes")
@@ -118,7 +126,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         watermark_delay=args.watermark,
         strict_errors=args.strict,
     )
-    tables = _tables(cfg)
+    from pyspark.sql import functions as F
+
+    extras: dict[str, str] = {}
+    for kv in args.extra_field:
+        if "=" not in kv:
+            raise SystemExit(f"--extra-field expects K=V, got {kv!r}")
+        k, v = kv.split("=", 1)
+        extras[k] = v
+
+    def _with_extras(df: DataFrame) -> DataFrame:
+        # lit() columns appended AFTER the transform so every exported
+        # row carries them, exactly like the reference tacks the parsed
+        # map onto each output record before serialization
+        for k, v in extras.items():
+            df = df.withColumn(k, F.lit(v))
+        return df
+
+    tables = {n: (lambda fn: (lambda df: _with_extras(fn(df))))(f)
+              for n, f in _tables(cfg).items()}
     selected = tables if args.table == "all" else {args.table: tables[args.table]}
 
     own_session = spark is None
@@ -170,7 +196,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             for name in selected:
                 if name in windowed_builders:
                     queries.append(start_windowed(
-                        windowed_builders[name](src()), args.out,
+                        _with_extras(windowed_builders[name](src())), args.out,
                         f"{args.checkpoint}/{name}", name, query_name=name))
             for q in queries:
                 q.awaitTermination()

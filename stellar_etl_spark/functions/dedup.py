@@ -497,13 +497,16 @@ def embedding_dup_pairs(embc: DataFrame) -> DataFrame:
     rounding-mode mismatch (the previous GEMM kernel summed in a
     different order and leaned on 6-dp rounding).
 
-    Bucket bits are computed in one numpy GEMM per Arrow batch inside
+    Bucket bits are computed vectorized-numpy per Arrow batch inside
     mapInPandas (the plane matrix is 144x64 — shipped with the
     closure, constant memory, nothing driver-side): 144 sign dots per
-    vector as interpreted SQL fold lambdas measured ~20x slower than
-    the BLAS matmul. Sign agreement with the oracle's sequential fold
-    is exact unless a dot lands within float-reorder epsilon of 0
-    (median |dot| ~ 0.6 here; probability ~ 1e-12 per dot)."""
+    vector as interpreted SQL fold lambdas measured ~20x slower. The
+    accumulation loops over the 64 dims in element order (vectorized
+    across rows x planes), so every dot is the SAME left-to-right
+    float64 fold the oracle's list_reduce evaluates — bit-identical
+    signs by construction, not epsilon-identical (a BLAS GEMM sums in
+    a different order and could flip a sign on a dot within reorder
+    epsilon of 0, nondeterministically diverging the candidate sets)."""
     import numpy as np
     import pandas as pd
 
@@ -516,7 +519,12 @@ def embedding_dup_pairs(embc: DataFrame) -> DataFrame:
             if not len(batch):
                 continue
             E = np.stack(batch["emb"].to_numpy()).astype("float64")
-            S = (E @ planes.T > 0).reshape(len(E), t_, p_)
+            # sequential-fold dots: acc_d = acc_{d-1} + e[d]*p[d], d=0..63
+            # (same order as H.dot_fold / DuckDB list_reduce)
+            acc = np.zeros((len(E), planes.shape[0]))
+            for d in range(planes.shape[1]):
+                acc += E[:, d, None] * planes[None, :, d]
+            S = (acc > 0).reshape(len(E), t_, p_)
             bks = (S * pow2).sum(axis=2)
             out = pd.DataFrame({"vec_id": batch["vec_id"], "emb": batch["emb"]})
             for t in range(t_):

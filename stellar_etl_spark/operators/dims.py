@@ -18,12 +18,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def dim_tools(df: DataFrame) -> DataFrame:
+def dim_tools(df: DataFrame, surrogate: str = "hash") -> DataFrame:
     """Dedup'd tool dimension: first-seen timestamp + usage count.
 
-    tool_id is a rank (portable across engines); production would use
-    F.xxhash64("tool") — both are deterministic pure functions of the
-    key, never sequence generators."""
+    surrogate="hash" (default): tool_id = xxhash64(tool) — shuffle-free
+    per-row, safe for unbounded vocabularies at 100 TB. surrogate="rank"
+    keeps the dense rank over a single-partition Window.orderBy — only
+    sound when the post-aggregation key cardinality is tiny (it is here:
+    8 tools), used where cross-engine oracle parity matters (DuckDB has
+    no xxhash64). Both are deterministic pure functions of the key,
+    never sequence generators."""
     agg = (
         df.filter(F.col("tool").isNotNull())
         .groupBy("tool")
@@ -32,9 +36,12 @@ def dim_tools(df: DataFrame) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("uses"),
         )
     )
-    w = Window.orderBy("tool")
+    if surrogate == "hash":
+        tool_id = F.xxhash64("tool")
+    else:
+        tool_id = F.row_number().over(Window.orderBy("tool")).cast("long")
     return agg.select(
-        F.row_number().over(w).cast("long").alias("tool_id"),
+        tool_id.alias("tool_id"),
         "tool",
         "first_seen_ts",
         "uses",

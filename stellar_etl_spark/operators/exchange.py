@@ -20,9 +20,14 @@ canonical asset-pair ordering of DimMarket
 (offer_normalized.go:103-106, L5 in SURVEY §2.6).
 
 ``exchange_id`` packs (conv, user_turn, claim) exactly like the TOID
-(toid/main.go:66-84): conv_num<<32 | user_turn_idx<<12 | claim_order,
-giving the same capacity bounds the reference documents (<=2^20 turns
-per conversation, <=4,095 claims per user turn; toid/main.go:37-49).
+(toid/main.go:66-84): conv_num<<32 | user_turn_idx<<12 | claim_order.
+Field widths mirror the TOID's (ledger 31 bits, tx 20 bits, op 12
+bits, toid/main.go:37-49): conv_num gets the wide 31-bit field (the
+ledger analog), user_turn_idx is capped at TURN_BITS=20 (<=1,048,575
+turns/conversation — the tx-per-ledger bound) and claim_order at 12
+bits (<=4,095 claims per user turn — the op-per-tx bound). Out-of-range
+values raise (ids.pack_py contract) instead of silently bleeding into
+the adjacent field.
 
 Scale notes: everything is window functions over
 (conv_id ORDER BY turn_idx) — one shuffle on conv_id, growing frames
@@ -33,14 +38,30 @@ sort, which is how this stays one exchange at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stellar_etl_spark import ids
 
-USER_TURN_BITS = 32
 CLAIM_BITS = 12
+CONV_SHIFT = ids.TURN_BITS + CLAIM_BITS  # 32 — the TOID ledger shift
+CONV_BITS = 63 - CONV_SHIFT  # 31 usable bits; keeps exchange_id positive
+
+
+def _range_checked(col: Column, bits: int, name: str) -> Column:
+    """Range guard for one packed field — the Column form of
+    ids.pack_py's ValueError (toid/main.go silently truncates; we
+    fail loudly, SURVEY §1.3)."""
+    ok = (col >= 0) & (col < (1 << bits))
+    return F.when(ok, col).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{name} exceeds {bits}-bit field capacity: "),
+                col.cast("string"),
+            )
+        )
+    )
 
 
 def exchanges(df: DataFrame) -> DataFrame:
@@ -48,7 +69,10 @@ def exchanges(df: DataFrame) -> DataFrame:
     has an initiating user turn)."""
     # F.get: NULL-tolerant out-of-bounds (matches DuckDB list indexing;
     # generator transcripts embed fewer text fields than events-derived)
-    amount = F.get(F.split(F.col("text"), r"\|"), 5).cast("long")
+    # try_cast: non-numeric payloads (external re-ingested JSONL) yield
+    # NULL instead of an ANSI cast error — mirrored by TRY_CAST in the
+    # oracle so both dialects agree beyond the generator's contract
+    amount = F.get(F.split(F.col("text"), r"\|"), 5).try_cast("long")
     wprev = (
         Window.partitionBy("conv_id")
         .orderBy("turn_idx")
@@ -82,11 +106,17 @@ def exchanges(df: DataFrame) -> DataFrame:
     claims = claims.withColumn(
         "claim_order", (F.row_number().over(wc) - 1).cast("long")
     )
-    conv_num = ids.conv_num_from_suffix("conv_id")
+    conv_num = _range_checked(
+        ids.conv_num_from_suffix("conv_id"), CONV_BITS, "conv_num"
+    )
+    user_idx = _range_checked(
+        F.col("user_turn_idx").cast("long"), ids.TURN_BITS, "user_turn_idx"
+    )
+    claim = _range_checked(F.col("claim_order"), CLAIM_BITS, "claim_order")
     exchange_id = (
-        conv_num * F.lit(1 << (USER_TURN_BITS + CLAIM_BITS))
-        + F.col("user_turn_idx").cast("long") * F.lit(1 << CLAIM_BITS)
-        + F.col("claim_order")
+        conv_num * F.lit(1 << CONV_SHIFT)
+        + user_idx * F.lit(1 << CLAIM_BITS)
+        + claim
     ).cast("long")
     market_key = F.when(
         F.col("prev_tool").isNotNull(),
@@ -113,12 +143,12 @@ def exchanges(df: DataFrame) -> DataFrame:
 EXCHANGES_ORACLE_SQL = f"""
     , b AS (
       SELECT conv_id, turn_idx, role, tool, ts,
-             CAST(string_split(text, '|')[6] AS BIGINT) AS amount,
+             TRY_CAST(string_split(text, '|')[6] AS BIGINT) AS amount,
              MAX(CASE WHEN role = 'user' THEN turn_idx END) OVER (
                PARTITION BY conv_id ORDER BY turn_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS user_turn_idx,
              LAST_VALUE(CASE WHEN role = 'assistant'
-                             THEN CAST(string_split(text, '|')[6] AS BIGINT) END IGNORE NULLS) OVER (
+                             THEN TRY_CAST(string_split(text, '|')[6] AS BIGINT) END IGNORE NULLS) OVER (
                PARTITION BY conv_id ORDER BY turn_idx
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_assistant_amount,
              LAST_VALUE(CASE WHEN role = 'tool' THEN tool END IGNORE NULLS) OVER (
@@ -132,7 +162,7 @@ EXCHANGES_ORACLE_SQL = f"""
       FROM b
       WHERE role = 'tool' AND user_turn_idx IS NOT NULL
     )
-    SELECT CAST(SUBSTR(conv_id, 2) AS BIGINT) * {1 << (USER_TURN_BITS + CLAIM_BITS)}
+    SELECT CAST(SUBSTR(conv_id, 2) AS BIGINT) * {1 << CONV_SHIFT}
              + CAST(user_turn_idx AS BIGINT) * {1 << CLAIM_BITS}
              + claim_order AS exchange_id,
            conv_id,

@@ -146,13 +146,18 @@ def tool_event_details(df: DataFrame) -> DataFrame:
         F.lit("kind"), F.lit("tool_call"),
         F.lit("tool"), F.coalesce(F.col("tool"), F.lit("")),
         F.lit("status"), status,
-        F.lit("text_len"), F.length("text").cast("string"),
+        # coalesce: NULL text (declared nullable for external JSONL)
+        # must yield "text_len":"0", matching the oracle's COALESCE —
+        # to_json would emit null while DuckDB '||' nulls the whole row
+        F.lit("text_len"), F.length(F.coalesce(F.col("text"), F.lit(""))).cast("string"),
     )
     sys_map = F.create_map(F.lit("kind"), F.lit("system"))
     msg_map = F.create_map(
         F.lit("kind"), F.lit("message"),
         F.lit("role"), F.col("role"),
-        F.lit("words"), F.size(F.split(F.trim("text"), r"\s+")).cast("string"),
+        F.lit("words"), F.size(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).cast("string"),
     )
     dm = (
         F.when(F.col("role") == "tool", tool_map)
@@ -176,11 +181,11 @@ _DETAILS_CASE_SQL = """CASE
         '{"kind":"tool_call","tool":"' || COALESCE(tool, '')
         || '","status":"'
         || CASE WHEN string_split(text, '|')[5] = 'error' THEN 'failed' ELSE 'ok' END
-        || '","text_len":"' || CAST(LENGTH(text) AS VARCHAR) || '"}'
+        || '","text_len":"' || CAST(LENGTH(COALESCE(text, '')) AS VARCHAR) || '"}'
       WHEN role = 'system' THEN '{"kind":"system"}'
       ELSE
         '{"kind":"message","role":"' || role || '","words":"'
-        || CAST(LEN(string_split_regex(TRIM(text), '\\s+')) AS VARCHAR) || '"}'
+        || CAST(LEN(string_split_regex(TRIM(COALESCE(text, '')), '\\s+')) AS VARCHAR) || '"}'
     END"""
 
 TOOL_EVENT_DETAILS_ORACLE_SQL = f"""

@@ -110,22 +110,23 @@ class EpochCommitSink:
 def lineage_of(batch_df: DataFrame) -> dict:
     """Per-partition lineage of one micro-batch: shuffle-partition ->
     rows, plus the distinct source files (when the stream carries
-    `_source_file`, source.py). Cheap: one pass over the cached batch."""
+    `_source_file`, source.py). ONE job over the cached batch: the
+    per-partition count and the per-partition file set ride the same
+    aggregation. (An Observation can't replace this — observed metrics
+    are whole-DataFrame aggregates, not a per-partition map.) Output is
+    metadata-sized: #shuffle-partitions rows."""
     out: dict = {}
+    aggs = [F.count(F.lit(1)).alias("n")]
     if "_source_file" in batch_df.columns:
-        files = [
-            r["f"]
-            for r in batch_df.select(
-                F.col("_source_file").alias("f")
-            ).distinct().collect()
-        ]
-        out["input_files"] = sorted(files)
+        aggs.append(F.collect_set("_source_file").alias("files"))
     parts = (
         batch_df.groupBy(F.spark_partition_id().alias("pid"))
-        .count()
+        .agg(*aggs)
         .collect()
     )
-    out["partitions"] = {str(r["pid"]): r["count"] for r in parts}
+    if "_source_file" in batch_df.columns:
+        out["input_files"] = sorted({f for r in parts for f in r["files"]})
+    out["partitions"] = {str(r["pid"]): r["n"] for r in parts}
     return out
 
 

@@ -136,6 +136,56 @@ def test_cli_batch_json_format(spark, small_input, tmp_path):
         read_transcript_batch(spark, small_input)).count()
 
 
+def test_cli_extra_fields(spark, small_input, tmp_path):
+    """--extra-field K=V appends constant columns to every exported row
+    (the reference's --extra-fields flag, cmd/command_utils.go:69-71),
+    surviving a JSONL round-trip; malformed specs fail loudly; the new
+    round-2 tables are exportable."""
+    import glob
+    import json as jsonlib
+
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["export-tool-event-details", "--input", small_input, "--out", out,
+         "--format", "json", "--extra-field", "pipeline=nightly",
+         "--extra-field", "source_rev=abc123"],
+        spark=spark,
+    )
+    assert rc == 0
+    files = glob.glob(f"{out}/tool_event_details/part-*.json")
+    assert files
+    lines = [ln for p in files for ln in open(p) if ln.strip()]
+    assert lines
+    first = jsonlib.loads(lines[0])
+    assert first["pipeline"] == "nightly" and first["source_rev"] == "abc123"
+    back = spark.read.json(f"{out}/tool_event_details")
+    assert back.filter("pipeline = 'nightly' AND source_rev = 'abc123'").count() == back.count()
+    assert back.count() > 0
+
+    # round-2 tables exportable too (CLI/driver registry parity);
+    # successful_tool_calls is legitimately empty on generator data
+    # (its text payload has no event field) — the export still runs
+    rc = cli.main(
+        ["export-state-conv-tools", "--input", small_input, "--out", out],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(f"{out}/state_conv_tools").count() > 0
+    rc = cli.main(
+        ["export-successful-tool-calls", "--input", small_input, "--out", out],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(f"{out}/successful_tool_calls").count() == 0
+
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["export-turns", "--input", small_input, "--out", out,
+             "--extra-field", "novalue"],
+            spark=spark,
+        )
+
+
 def test_jsonl_roundtrip_source(spark, small_input, tmp_path):
     """S3 alternate-batch-source analog: a JSONL export re-ingested via
     read_transcript_jsonl equals the original transcript rows."""

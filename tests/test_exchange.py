@@ -56,6 +56,24 @@ def test_exchange_semantics(spark):
     assert got[3].market_key == "tool_1|tool_5"  # least|greatest
     assert got[5].market_key == "tool_2|tool_5"
 
-    # TOID packing: conv 7 << 44 | user_turn << 12 | claim
-    assert got[3].exchange_id == (7 << 44) | (0 << 12) | 1
-    assert got[5].exchange_id == (7 << 44) | (4 << 12) | 0
+    # TOID packing (toid/main.go field widths): conv << 32 | user_turn << 12 | claim
+    assert got[3].exchange_id == (7 << 32) | (0 << 12) | 1
+    assert got[5].exchange_id == (7 << 32) | (4 << 12) | 0
+
+
+def test_exchange_id_range_guard(spark):
+    """Out-of-range packed fields fail loudly instead of bleeding into
+    the adjacent field (the silent-overflow bug class the TOID's fixed
+    widths invite)."""
+    import pytest
+
+    rows = [
+        # user turn index beyond the 20-bit user_turn field
+        ("c9", 1 << 20, "user", "user||c9|0|view|1", None, _t(0)),
+        ("c9", (1 << 20) + 1, "tool", "tool|tool_1|c9|x|purchase|2", "tool_1", _t(1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    with pytest.raises(Exception, match="capacity"):
+        exchanges(df).collect()
