@@ -52,7 +52,19 @@ def sessionize(df: DataFrame, cfg: EngineConfig = DEFAULT, watermark: bool = Fal
     """transcripts -> sessions via native session_window.
 
     session_start = first turn ts, session_end = last turn ts + gap
-    (Spark's merged-window definition)."""
+    (Spark's merged-window definition).
+
+    PUSHDOWN HAZARD (verified on Spark 4.1): do NOT filter this
+    operator's output on ``session_end`` inside the same plan —
+    Catalyst treats the predicate as referencing the pre-merge grouping
+    attribute and rewrites ``session_end <= X`` into a per-row
+    ``ts + gap <= X`` filter BELOW the session merge. That rewrite is
+    sound for tumbling/sliding windows (end is per-row derivable) but
+    UNSOUND for session windows: it truncates any in-progress session
+    straddling ``X - gap``, silently emitting a shorter session with an
+    earlier end. Use :func:`closed_sessions` for as-of filtering (its
+    window-function lineage blocks the rewrite), or filter after a
+    materialization boundary (e.g. on re-read of the sessions table)."""
     src = df.withWatermark("ts", cfg.watermark_delay) if watermark else df
     return (
         src.groupBy(F.session_window("ts", cfg.session_gap), "conv_id")
@@ -109,6 +121,21 @@ def sessionize_islands(df: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
             "last_turn_idx",
         )
     )
+
+
+def closed_sessions(df: DataFrame, cfg: EngineConfig, as_of) -> DataFrame:
+    """Sessions fully closed as of ``as_of`` — the bounded-range export
+    gate (S4 analog: the reference exports only ledgers at/behind the
+    checkpoint boundary, internal/utils/main.go:827-846; here, only
+    sessions the watermark has finalized).
+
+    Implemented over the islands form on purpose: its ``session_end``
+    is a plain aggregate output (``max(ts) + gap``), which Catalyst
+    cannot push below the aggregation — unlike the native
+    ``session_window`` path, where the same filter is unsoundly
+    rewritten to a pre-merge row filter (see sessionize docstring).
+    Same one-shuffle cost."""
+    return sessionize_islands(df, cfg).filter(F.col("session_end") <= F.lit(as_of))
 
 
 def _gap_seconds(gap: str) -> float:

@@ -11,7 +11,14 @@ Features exercised (FIXTURES.md §1):
   * tool drawn from a fixed 8-name vocabulary;
   * conversation start times spread over 24 h; intra-conversation gaps
     in [1 s, 120 s] with a seeded fraction of gaps > session_gap to
-    split sessions (ledger-close analog);
+    split sessions (ledger-close analog). Session splits land ONLY
+    before user turns — a session naturally reopens with a user
+    message, and it bounds every user->response gap at 120 s, below
+    any sane watermark delay. That bound is what makes the streaming
+    matcher PROVABLY equal to the batch matcher on this corpus: with
+    time-sliced files picked up in order, the watermark trails the
+    response slice by >= (delay - 120 s), so no pending user turn can
+    be evicted before its response is read (tests/test_streaming.py);
   * hot-key skew: 1% of conversations get 10-100x turn count;
   * optional late/out-of-order shuffle for watermark-drop tests.
 
@@ -69,7 +76,9 @@ def generate_transcripts(
     # seeded fraction of gaps inflated past the session gap
     conv_start = rng.integers(0, 24 * 3600, size=n_convs) * 1_000_000
     gaps = rng.integers(1, 121, size=total).astype(np.int64)
-    split = rng.random(total) < session_split_frac
+    # splits only before user turns (phase 0): sessions reopen with a
+    # user message; responses stay within 120 s of their user turn
+    split = (rng.random(total) < session_split_frac) & (phase == 0)
     gaps = np.where(split, SESSION_GAP_S + rng.integers(60, 3600, size=total), gaps)
     gaps = np.where(turn_idx == 0, 0, gaps) * 1_000_000
     # cumulative within conversation: cumsum minus the carry-over at conv starts
@@ -122,12 +131,22 @@ def write_transcripts(
     (/root/reference/cmd/command_utils.go:105-111).
     """
     import os
+    import time
 
     os.makedirs(out_dir, exist_ok=True)
     table = generate_transcripts(n_convs, seed=seed, **kwargs)
     n = table.num_rows
     bounds = np.linspace(0, n, n_files + 1).astype(int)
+    # Strictly increasing mtimes (2 s apart, ending now): Spark's file
+    # stream source orders new files by modification time, and parquet
+    # parts written back-to-back can tie at ms granularity — a tie lets
+    # a later time slice enter an earlier micro-batch, jumping the
+    # watermark past pending state (the round-2 flake). Distinct mtimes
+    # pin pickup order = time order, deterministically.
+    t0 = time.time() - 2.0 * n_files
     for i in range(n_files):
         part = table.slice(bounds[i], bounds[i + 1] - bounds[i])
-        pq.write_table(part, os.path.join(out_dir, f"part-{i:05d}.parquet"))
+        path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        pq.write_table(part, path)
+        os.utime(path, (t0 + 2.0 * i, t0 + 2.0 * i))
     return n

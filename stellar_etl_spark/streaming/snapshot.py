@@ -11,10 +11,21 @@ keys whose state changed, i.e. the per-window snapshot delta.
 State design: one (turn_idx, text, tool, ts, count) struct per live
 key — the state IS the materialized table, bounded by key cardinality
 (exactly like the reference's orderbook graph, and unlike its unbounded
-seen-maps, orderbooks.go:26-33). No watermark-driven eviction applies
-to a non-windowed aggregation; key retirement at 100 TB is a TTL
-compaction of the snapshot table downstream (or per-session keys that
-expire with the session window).
+seen-maps, orderbooks.go:26-33).
+
+Key retirement: the default agg form keeps state for every key ever
+seen — fine when key cardinality is the dimension table, the
+reference's unbounded-seen-map anti-pattern when keys are
+conversations at 10^9 scale. ``start_snapshot_stream(..., ttl_s=N)``
+switches to the TTL form (``applyInPandasWithState`` +
+EventTimeTimeout): a key idle for ttl_s of EVENT time after its last
+change emits a tombstone delta (``retired=true``) and leaves the state
+store — session-scoped eviction, the session-gap analog of closing a
+ledger. State is then bounded by the number of keys ACTIVE within one
+TTL window, not keys ever seen. ``read_final_snapshot`` folds
+tombstones like any delta: a retired key vanishes from the snapshot
+unless it re-appeared later (which recreates it fresh, n_changes
+restarting — exactly a new session).
 
 The epoch-stamped deltas land in the EpochCommitSink exactly-once;
 ``read_final_snapshot`` folds them back (latest epoch wins per key),
@@ -58,6 +69,95 @@ def snapshot_agg(df: DataFrame) -> DataFrame:
     )
 
 
+TTL_OUTPUT_SCHEMA = (
+    "conv_id string, role string, last_turn_idx int, last_text string, "
+    "last_tool string, last_ts timestamp, n_changes long, retired boolean"
+)
+TTL_STATE_SCHEMA = (
+    "turn_idx int, text string, tool string, ts_us long, n_changes long"
+)
+
+
+def _ttl_snapshot_fn(ttl_s: int):
+    """Build the per-key stateful function: latest-turn state with
+    event-time TTL retirement."""
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        conv_id, role = key
+        if state.hasTimedOut:
+            turn_idx, text, tool, ts_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "role": [role],
+                    "last_turn_idx": pd.array([turn_idx], dtype="Int32"),
+                    "last_text": [text],
+                    "last_tool": [tool],
+                    "last_ts": pd.to_datetime([ts_us], unit="us"),
+                    "n_changes": pd.array([n], dtype="Int64"),
+                    "retired": [True],
+                }
+            )
+            return
+
+        turn_idx, text, tool, ts_us, n = (None, None, None, None, 0)
+        if state.exists:
+            turn_idx, text, tool, ts_us, n = state.get
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            ts = pdf["ts"]
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+            us = ts.astype("datetime64[us]").astype("int64")
+            n += len(pdf)
+            i = pdf["turn_idx"].idxmax()
+            if turn_idx is None or int(pdf["turn_idx"][i]) > turn_idx:
+                turn_idx = int(pdf["turn_idx"][i])
+                text = pdf["text"][i]
+                tool = pdf["tool"][i] if pd.notna(pdf["tool"][i]) else None
+                ts_us = int(us[i])
+        state.update((turn_idx, text, tool, ts_us, n))
+        # retire after ttl_s of event-time inactivity (must sit above
+        # the current watermark or Spark rejects the timestamp)
+        want_ms = ts_us // 1000 + ttl_s * 1000
+        state.setTimeoutTimestamp(max(want_ms, state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "role": [role],
+                "last_turn_idx": pd.array([turn_idx], dtype="Int32"),
+                "last_text": [text],
+                "last_tool": [tool],
+                "last_ts": pd.to_datetime([ts_us], unit="us"),
+                "n_changes": pd.array([n], dtype="Int64"),
+                "retired": [False],
+            }
+        )
+
+    return fn
+
+
+def snapshot_ttl(df: DataFrame, cfg: EngineConfig, ttl_s: int) -> DataFrame:
+    """TTL-retiring snapshot stream: same per-key latest-turn semantics
+    as snapshot_agg, plus tombstone deltas for retired keys."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        df.withWatermark("ts", cfg.watermark_delay)
+        .groupBy("conv_id", "role")
+        .applyInPandasWithState(
+            _ttl_snapshot_fn(ttl_s),
+            TTL_OUTPUT_SCHEMA,
+            TTL_STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def start_snapshot_stream(
     stream: DataFrame,
     sink_root: str,
@@ -65,12 +165,15 @@ def start_snapshot_stream(
     cfg: EngineConfig = DEFAULT,
     available_now: bool = True,
     query_name: str = "snapshot",
+    ttl_s: int | None = None,
 ) -> StreamingQuery:
     """Start the update-mode snapshot query: each micro-batch commits
     the changed-key snapshot rows (stamped with their epoch) through
-    the exactly-once epoch protocol."""
+    the exactly-once epoch protocol. ttl_s switches to the
+    key-retiring stateful form (see module docstring)."""
     sink = EpochCommitSink(sink_root)
-    snap = snapshot_agg(stream.drop("_source_file"))
+    src = stream.drop("_source_file")
+    snap = snapshot_ttl(src, cfg, ttl_s) if ttl_s else snapshot_agg(src)
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         sink.write_epoch(
@@ -97,8 +200,14 @@ def read_final_snapshot(spark: SparkSession, sink_root: str) -> DataFrame:
     deltas = EpochCommitSink(sink_root).read_table(spark, SNAPSHOT_TABLE)
     cols = [c for c in deltas.columns if c != "epoch_id"]
     latest = F.max_by(F.struct(*cols), F.col("epoch_id")).alias("s")
-    return (
+    folded = (
         deltas.groupBy("conv_id", "role")
         .agg(latest)
         .select(*[F.col(f"s.{c}").alias(c) for c in cols])
     )
+    if "retired" in cols:
+        # a key whose latest delta is a tombstone is gone from the
+        # materialized state; drop the marker so the folded schema
+        # matches the batch compactor's
+        folded = folded.filter(~F.col("retired")).drop("retired")
+    return folded

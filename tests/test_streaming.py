@@ -94,11 +94,18 @@ def test_stream_sessions_equal_batch(spark, data_dir, tmp_path):
     wm = _final_watermark(spark, data_dir)
     got = EpochCommitSink(str(tmp_path / "sink")).read_table(spark, "sessions")
     batch = sessions.sessionize(read_transcript_batch(spark, data_dir), CFG)
-    expected = batch.filter(F.col("session_end") <= F.lit(wm))
     cols = ["conv_id", "session_start", "session_end", "turn_count",
             "user_turns", "assistant_turns", "tool_turns"]
-    assert _rows(got, cols) == _rows(expected, cols)
-    assert len(_rows(got, cols)) > 0
+    # filter driver-side: an in-plan filter on session_end is unsoundly
+    # pushed below the session merge (see sessionize docstring /
+    # test_closed_sessions_filter_is_sound)
+    expected = [t for t in _rows(batch, cols) if t[2] <= wm]
+    assert _rows(got, cols) == expected
+    assert len(expected) > 0
+
+    # the safe as-of operator agrees with the driver-side filter
+    closed = sessions.closed_sessions(read_transcript_batch(spark, data_dir), CFG, wm)
+    assert _rows(closed, cols) == expected
 
 
 def test_matcher_stream_equals_batch(spark, data_dir, tmp_path):
@@ -232,6 +239,60 @@ def test_snapshot_stream_equals_batch_compaction(spark, data_dir, tmp_path):
     assert len(epochs) >= 3
     deltas = sink.read_table(spark, "snapshot")
     assert deltas.count() > final.count()
+
+
+def test_snapshot_ttl_retires_keys(spark, data_dir, tmp_path):
+    """TTL key retirement: keys idle past ttl_s of event time emit a
+    tombstone and LEAVE the state store (state bounded by active keys,
+    not keys-ever-seen — the orderbooks.go:26-33 anti-pattern SURVEY §4
+    promises to avoid), while the folded snapshot stays correct for
+    live keys."""
+    from stellar_etl_spark.operators.state import compact_last_state
+    from stellar_etl_spark.streaming.snapshot import (
+        read_final_snapshot,
+        start_snapshot_stream,
+    )
+
+    stream = read_transcript_stream(spark, data_dir, max_files_per_trigger=1,
+                                    with_lineage=False)
+    q = start_snapshot_stream(stream, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+                              CFG, query_name="snap_ttl", ttl_s=1800)
+    assert q.awaitTermination(540), "TTL snapshot stream did not finish within 540s"
+    import json as jsonlib
+
+    progs = [p if isinstance(p, dict) else jsonlib.loads(p.json)
+             for p in q.recentProgress]
+    max_state_rows = max(
+        (p["stateOperators"][0]["numRowsTotal"]
+         for p in progs if p.get("stateOperators")),
+        default=0,
+    )
+
+    sink = EpochCommitSink(str(tmp_path / "sink"))
+    deltas = sink.read_table(spark, "snapshot")
+    batch = compact_last_state(read_transcript_batch(spark, data_dir))
+    total_keys = batch.count()
+
+    # retirement actually happened, and state stayed bounded below
+    # keys-ever-seen while the stream ran
+    tomb = deltas.filter(F.col("retired")).select("conv_id", "role").distinct()
+    assert tomb.count() > 0
+    assert 0 < max_state_rows < total_keys
+
+    final = read_final_snapshot(spark, str(tmp_path / "sink"))
+    cols = ["conv_id", "role", "last_turn_idx", "last_text", "last_tool",
+            "last_ts", "n_changes"]
+
+    # keys never retired: full row equality with the batch compactor
+    assert _rows(final.join(tomb, ["conv_id", "role"], "left_anti"), cols) == \
+        _rows(batch.join(tomb, ["conv_id", "role"], "left_anti"), cols)
+
+    # every live key (including retire-then-reappear ones) carries the
+    # batch-true latest turn; only n_changes restarts at re-appearance
+    cols_nc = [c for c in cols if c != "n_changes"]
+    live_keys = final.select("conv_id", "role")
+    assert _rows(final, cols_nc) == _rows(
+        batch.join(live_keys, ["conv_id", "role"], "left_semi"), cols_nc)
 
 
 def test_rate_source_drives_pipeline(spark, tmp_path):
