@@ -227,6 +227,18 @@ def _q_state_conv_tools(spark, sf):
     return state.state_conv_tools(_T(spark, sf))
 
 
+_CLOSED_AS_OF = "2024-01-08 00:00:00"
+
+
+def _q_closed_sessions(spark, sf):
+    """As-of session export (S4 bounded-range gate): only sessions the
+    watermark at _CLOSED_AS_OF has finalized. Routed through the
+    islands form because filtering native session_window output on
+    session_end hits an unsound Catalyst pushdown (sessionize
+    docstring)."""
+    return sessions.closed_sessions(_T(spark, sf), CFG, _CLOSED_AS_OF)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_enriched": _q_turns_enriched,
@@ -252,6 +264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exchanges": _q_exchanges,
         "conv_participants": _q_conv_participants,
         "state_conv_tools": _q_state_conv_tools,
+        "closed_sessions": _q_closed_sessions,
         # training-data pipeline ops (documents/embeddings)
         "doc_stats": _q_doc_stats,
         "doc_lang_id": _q_doc_lang_id,
@@ -306,6 +319,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "turns_enriched": _TURNS_ENRICHED_SQL,
         "sessions": _W + sessions.session_oracle_sql("INTERVAL 8 HOUR"),
+        "closed_sessions": _W + sessions.session_oracle_sql("INTERVAL 8 HOUR")
+        + f" HAVING MAX(ts) + INTERVAL 8 HOUR <= TIMESTAMP '{_CLOSED_AS_OF}'",
         "tool_rate_1m": _W + rollups.rate_oracle_sql("tool", 1, "WHERE tool IS NOT NULL"),
         "role_rate_1m": _W + rollups.rate_oracle_sql("role", 1),
         "tool_rate_5m_sliding": _W

@@ -13,6 +13,13 @@ Each query is forced end-to-end with the ``noop`` sink (full physical
 execution — scan, shuffle, UDFs — without driver-side collect skew).
 Scaling-efficiency evidence (local[8] vs local[32], BASELINE.md §3) is
 produced by running this script twice with SPARK_GRAFT_CPUS=8 / 32.
+
+Per-query time is the MEDIAN of ``$SPARK_GRAFT_REPS`` (default 3)
+timed repetitions, interleaved round-robin (rep 0 of every query, then
+rep 1, ...) so a host-noise burst degrades one rep of many queries
+instead of all reps of one — this sandbox is a bursty shared box and
+single-shot numbers proved untrustworthy (round-2 verdict §perf). The
+JSON carries the medians plus per-query min/max spread.
 """
 
 from __future__ import annotations
@@ -59,13 +66,25 @@ def main() -> None:
     spark.range(100_000).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
 
-    timings: dict[str, float] = {}
-    for name, fn in entry_mod.queries().items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    qs = entry_mod.queries()
+    raw: dict[str, list[float]] = {name: [] for name in qs}
+    for _rep in range(reps):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            raw[name].append(time.perf_counter() - t0)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    timings = {name: round(median(xs), 3) for name, xs in raw.items()}
+    spread = {
+        name: [round(min(xs), 3), round(max(xs), 3)] for name, xs in raw.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -74,6 +93,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_spread_min_max": spread,
+                "reps_per_query": reps,
                 "sf": sf_dir,
                 "n_input_turns": n_turns,
                 "turns_per_sec": round(n_turns * len(timings) / total, 1) if total else None,
