@@ -239,6 +239,25 @@ def _q_closed_sessions(spark, sf):
     return sessions.closed_sessions(_T(spark, sf), CFG, _CLOSED_AS_OF)
 
 
+def _q_turn_pairs_streamed(spark, sf):
+    """The REAL streaming stack behind the exact value oracle: drains
+    the stateful matcher (applyInPandasWithState + EventTimeTimeout)
+    over time-sliced files of this same input; oracle = the batch
+    matcher's SQL. See streaming/parity.py for the zero-flake
+    construction (huge delay + sentinel watermark close)."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_turn_pairs(spark, sf, CFG)
+
+
+def _q_snapshot_streamed(spark, sf):
+    """Update-mode snapshot stream drained through the exactly-once
+    epoch sink and folded back; oracle = the batch compactor's SQL."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_snapshot(spark, sf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_enriched": _q_turns_enriched,
@@ -265,6 +284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_participants": _q_conv_participants,
         "state_conv_tools": _q_state_conv_tools,
         "closed_sessions": _q_closed_sessions,
+        # streaming-stack parity: the streaming engine itself behind the
+        # exact value oracles (stream==batch, driver-gated)
+        "turn_pairs_streamed": _q_turn_pairs_streamed,
+        "snapshot_streamed": _q_snapshot_streamed,
         # training-data pipeline ops (documents/embeddings)
         "doc_stats": _q_doc_stats,
         "doc_lang_id": _q_doc_lang_id,
@@ -343,6 +366,8 @@ def oracle_sql() -> dict[str, str]:
         "exchanges": _W + exchange.EXCHANGES_ORACLE_SQL,
         "conv_participants": _W + dims.CONV_PARTICIPANTS_ORACLE_SQL,
         "state_conv_tools": _W + state.STATE_CONV_TOOLS_ORACLE_SQL,
+        "turn_pairs_streamed": _W + pairs.PAIRS_ORACLE_SQL,
+        "snapshot_streamed": _W + state.COMPACT_ORACLE_SQL,
         # training-data pipeline oracles
         "doc_stats": ftext.doc_stats_oracle(fcorpus.CORPUS_CTE),
         "doc_lang_id": ftext.lang_id_oracle(fcorpus.CORPUS_CTE),

@@ -110,7 +110,11 @@ def _match_fn(
                     out.append((conv_id, pending_idx, None, None, None, None, True))
                 pending_idx, pending_ts_us = int(idxs[i]), int(ts_us[i])
             elif pending_idx is not None:
-                lat = (int(ts_us[i]) - pending_ts_us) / 1e6
+                # divide each term before subtracting: bit-identical to
+                # the batch form cast(ts as double) - cast(ts as double)
+                # (subtract-then-divide rounds differently at µs
+                # fractions and can flip the 6-dp oracle hash)
+                lat = int(ts_us[i]) / 1e6 - pending_ts_us / 1e6
                 out.append(
                     (conv_id, pending_idx, int(idxs[i]), roles[i], tools[i], lat, False)
                 )
