@@ -4,7 +4,15 @@
 No real cluster exists in this sandbox, so the two-cluster-size
 criterion is evidenced by running the SAME job on the SAME input at two
 local parallelism levels (local[8] = N, local[32] = 4N), per the
-driver's protocol. Each level runs in its own subprocess (fresh JVM).
+driver's protocol. Each level runs in its own subprocess (fresh JVM),
+**CPU-pinned to exactly `cpus` cores via taskset**: without pinning,
+local[8]'s Python UDF workers and JVM GC/IO threads silently spread
+onto the other 24 host cores, flattering the N level and understating
+efficiency (measured: pinned 8-core enrich 15.8 s vs 12.8 s unpinned —
+a free ~20%). Shuffle local dirs go on tmpfs (/dev/shm): this VM's
+virtio disk has multi-second hypervisor-side stall bursts (87-150 s
+walls on a 5 s shuffle, /proc/pressure/io full>0) that have nothing to
+do with the engine; a real executor has local NVMe.
 
 Measurement protocol (shared-host noise + JIT warmup both distort
 single-shot timings badly — measured: first-run session_window agg can
@@ -94,6 +102,12 @@ def child(cpus: int) -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # tmpfs shuffle dirs: immune to this VM's virtio-disk stall
+        # bursts (see module docstring); bench shuffles are a few GB
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+        # Xms=Xmx-ish: heap growth from the 1g default to tens of GB
+        # causes full-GC walls in the first timed reps at local[32]
+        .config("spark.driver.extraJavaOptions", "-Xms16g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -144,6 +158,9 @@ def child(cpus: int) -> None:
         return total - idle, steal, total
 
     pipeline()  # untimed warmup: JIT, codegen cache, python worker pool
+    pipeline()  # second warmup: C2 compilation of the sort/window hot
+    # paths finishes later at high core counts (tasks are shorter, so
+    # invocation thresholds take more wall-reps to cross)
 
     walls, utils, host_busy, host_steal = [], [], [], []
     for _ in range(REPS):
@@ -179,10 +196,14 @@ def main() -> None:
         return
 
     n = ensure_input()
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
     results = {}
     for cpus in LEVELS:
+        # hard-pin the whole process tree (JVM + python workers) to
+        # exactly `cpus` cores — the honest N-executor simulation
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
+            ["taskset", "-c", f"0-{cpus - 1}",
+             sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
             capture_output=True, text=True, timeout=3600,
         )
         lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
