@@ -258,6 +258,26 @@ def _q_snapshot_streamed(spark, sf):
     return parity.streamed_snapshot(spark, sf)
 
 
+def _q_sessions_streamed(spark, sf):
+    """ST5 behind the exact value oracle: the REAL streaming
+    session_window aggregation (watermark-finalized, append mode)
+    drained over time-sliced files of this same input; oracle = the
+    batch gaps-and-islands SQL. distinct_tools streams as
+    size(collect_set) — exact, streaming-legal."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_sessions(spark, sf, CFG)
+
+
+def _q_tool_rate_1m_streamed(spark, sf):
+    """Watermarked tumbling rollup as a REAL streaming aggregation;
+    oracle = the batch rate SQL (exact distinct conv counts via
+    collect_set parity mode)."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_tool_rate(spark, sf, CFG)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_enriched": _q_turns_enriched,
@@ -288,6 +308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact value oracles (stream==batch, driver-gated)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
         "snapshot_streamed": _q_snapshot_streamed,
+        "sessions_streamed": _q_sessions_streamed,
+        "tool_rate_1m_streamed": _q_tool_rate_1m_streamed,
         # training-data pipeline ops (documents/embeddings)
         "doc_stats": _q_doc_stats,
         "doc_lang_id": _q_doc_lang_id,
@@ -368,6 +390,9 @@ def oracle_sql() -> dict[str, str]:
         "state_conv_tools": _W + state.STATE_CONV_TOOLS_ORACLE_SQL,
         "turn_pairs_streamed": _W + pairs.PAIRS_ORACLE_SQL,
         "snapshot_streamed": _W + state.COMPACT_ORACLE_SQL,
+        "sessions_streamed": _W + sessions.session_oracle_sql("INTERVAL 8 HOUR"),
+        "tool_rate_1m_streamed": _W
+        + rollups.rate_oracle_sql("tool", 1, "WHERE tool IS NOT NULL"),
         # training-data pipeline oracles
         "doc_stats": ftext.doc_stats_oracle(fcorpus.CORPUS_CTE),
         "doc_lang_id": ftext.lang_id_oracle(fcorpus.CORPUS_CTE),

@@ -28,11 +28,26 @@ from pyspark.sql import functions as F
 from stellar_etl_spark.config import DEFAULT, EngineConfig
 
 
-def _rate(df: DataFrame, dim: str, window_col, exact: bool, drop_null_dim: bool) -> DataFrame:
+def _distinct_convs(mode: str):
+    # "exact"  count_distinct — batch only (streaming-illegal)
+    # "set"    size(collect_set) — exact AND streaming-legal; state per
+    #          (window, dim) group grows with the distinct conv count,
+    #          so it is the oracle-parity mode, not the 100 TB default
+    # "approx" HLL++ — constant state, mergeable; the scale default for
+    #          unbounded per-group cardinality
+    if mode == "exact":
+        return F.count_distinct("conv_id")
+    if mode == "set":
+        return F.size(F.collect_set("conv_id"))
+    if mode == "approx":
+        return F.approx_count_distinct("conv_id")
+    raise ValueError(f"unknown distinct mode {mode!r}")
+
+
+def _rate(df: DataFrame, dim: str, window_col, exact, drop_null_dim: bool) -> DataFrame:
     src = df.filter(F.col(dim).isNotNull()) if drop_null_dim else df
-    convs = (
-        F.count_distinct("conv_id") if exact else F.approx_count_distinct("conv_id")
-    ).cast("long").alias("convs")
+    mode = exact if isinstance(exact, str) else ("exact" if exact else "approx")
+    convs = _distinct_convs(mode).cast("long").alias("convs")
     return (
         src.groupBy(window_col.alias("w"), dim)
         .agg(F.count(F.lit(1)).cast("long").alias("turns"), convs)
@@ -46,17 +61,17 @@ def _rate(df: DataFrame, dim: str, window_col, exact: bool, drop_null_dim: bool)
     )
 
 
-def tool_rate(df: DataFrame, cfg: EngineConfig = DEFAULT, exact: bool = True) -> DataFrame:
+def tool_rate(df: DataFrame, cfg: EngineConfig = DEFAULT, exact: "bool | str" = True) -> DataFrame:
     """Per-tool turn rate, tumbling windows; tool turns only."""
     return _rate(df, "tool", F.window("ts", cfg.tumbling), exact, drop_null_dim=True)
 
 
-def role_rate(df: DataFrame, cfg: EngineConfig = DEFAULT, exact: bool = True) -> DataFrame:
+def role_rate(df: DataFrame, cfg: EngineConfig = DEFAULT, exact: "bool | str" = True) -> DataFrame:
     """Per-role turn rate, tumbling windows."""
     return _rate(df, "role", F.window("ts", cfg.tumbling), exact, drop_null_dim=False)
 
 
-def tool_rate_sliding(df: DataFrame, cfg: EngineConfig = DEFAULT, exact: bool = True) -> DataFrame:
+def tool_rate_sliding(df: DataFrame, cfg: EngineConfig = DEFAULT, exact: "bool | str" = True) -> DataFrame:
     """Per-tool rate over sliding windows (length/slide from cfg)."""
     return _rate(
         df,

@@ -61,6 +61,11 @@ CLOSER_CONV = "__closer__"
 # days; the generator spans ~1 day): mid-stream eviction is impossible
 PARITY_DELAY = "3650 days"
 _DELAY_US = 3650 * 86400 * 1_000_000
+# sentinel slack above max_ts + delay: the final watermark lands at
+# max_ts + slack, so it must clear every emittable boundary — session
+# ends reach max_ts + session_gap (8h default), tumbling/sliding window
+# ends max_ts + minutes. 30 days covers any sane cfg.
+_SLACK_US = 30 * 86400 * 1_000_000
 N_SLICES = 6
 
 
@@ -70,7 +75,7 @@ def _slice_dir(spark: SparkSession, sf_dir: str, n_files: int = N_SLICES) -> str
     (the driver's parquet inputs are immutable)."""
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     out = os.path.join(
-        tempfile.gettempdir(), "spark_graft_parity", f"slices-{key}-{n_files}"
+        tempfile.gettempdir(), "spark_graft_parity", f"slices-v3-{key}-{n_files}"
     )
     marker = os.path.join(out, "_COMPLETE")
     if os.path.exists(marker):
@@ -132,8 +137,13 @@ def _slice_dir(spark: SparkSession, sf_dir: str, n_files: int = N_SLICES) -> str
                 "turn_idx": [k],
                 "role": ["assistant"],
                 "text": ["closer"],
-                "tool": [None],
-                "ts": [base_us + _DELAY_US + 3_600_000_000 + k * 1_000_000],
+                # non-null tool, and a reserved one: Catalyst pushes
+                # dimension filters (e.g. tool IS NOT NULL) BELOW the
+                # EventTimeWatermark node into the scan, so a sentinel a
+                # downstream filter can drop would never reach the
+                # watermark collector and the stream would never close
+                "tool": [CLOSER_CONV],
+                "ts": [base_us + _DELAY_US + _SLACK_US + k * 1_000_000],
             },
             schema=schema,
         )
@@ -177,6 +187,79 @@ def streamed_turn_pairs(
     return spark.read.parquet(os.path.join(work, "out")).filter(
         F.col("conv_id") != CLOSER_CONV
     )
+
+
+def _drain_append(df: DataFrame, name: str) -> str:
+    """Run an append-mode streaming DataFrame to completion into a fresh
+    parquet dir (availableNow drain); return the output path."""
+    work = tempfile.mkdtemp(prefix=f"parity_{name}_")
+    out = os.path.join(work, "out")
+    q = (
+        df.writeStream.queryName(f"parity_{name}")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out
+
+
+def streamed_sessions(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Run the REAL streaming session-window aggregation (ST5: the
+    ledger-close boundary analog) over the sliced driver input and
+    return the finalized sessions; values hash-match the batch
+    gaps-and-islands oracle (session_oracle_sql).
+
+    Why equality is exact by construction: the parity watermark delay
+    dwarfs the corpus time span, so no session can close mid-stream
+    with late data still owed; the closer sentinel then pushes the
+    final watermark to max_ts + 30d, past every real session's end
+    (max_ts + gap), finalizing all of them in one availableNow drain.
+    distinct_tools streams as size(collect_set(...)) — exact values,
+    streaming-legal (sessionize distinct="set" default under
+    watermark)."""
+    from stellar_etl_spark.operators.sessions import sessionize
+
+    src_dir = _slice_dir(spark, sf_dir)
+    parity_cfg = EngineConfig(
+        session_gap=cfg.session_gap, watermark_delay=PARITY_DELAY
+    )
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    )
+    out = _drain_append(sessionize(stream, parity_cfg, watermark=True), "sessions")
+    return spark.read.parquet(out).filter(F.col("conv_id") != CLOSER_CONV)
+
+
+def streamed_tool_rate(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Run the tumbling-window per-tool rollup (A1/W-family analog) as a
+    REAL watermarked streaming aggregation; values hash-match the batch
+    rate_oracle_sql. Exact distinct conv counts stream via
+    size(collect_set(conv_id)) (oracle-parity mode; the 100 TB default
+    is HLL — see operators/rollups._distinct_convs).
+
+    Sentinel subtlety (measured, not theoretical): the rollup's
+    ``tool IS NOT NULL`` filter is pushed below EventTimeWatermark into
+    the scan, so a null-tool sentinel never reaches the watermark
+    collector and the final windows never close (0 rows out). The
+    sentinels therefore carry a reserved non-null tool; their own
+    window can never finalize (its end sits delay-past the final
+    watermark), and the defensive filter below guards the invariant."""
+    from stellar_etl_spark.operators.rollups import tool_rate
+
+    src_dir = _slice_dir(spark, sf_dir)
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    ).withWatermark("ts", PARITY_DELAY)
+    out = _drain_append(tool_rate(stream, cfg, exact="set"), "tool_rate")
+    return spark.read.parquet(out).filter(F.col("tool") != CLOSER_CONV)
 
 
 def streamed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
