@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from stellar_etl_spark.config import EngineConfig
 from stellar_etl_spark.functions import corpus as fcorpus
+from stellar_etl_spark.functions import curation as fcur
 from stellar_etl_spark.functions import dedup as fdedup
 from stellar_etl_spark.functions import multimodal as fmm
 from stellar_etl_spark.functions import similarity as fsim
@@ -187,6 +188,22 @@ def _q_ann_lsh(spark, sf):
     return fsim.ann_lsh(fcorpus.load_embeddings(spark, sf))
 
 
+def _q_ann_ivf(spark, sf):
+    return fsim.ann_ivf(fcorpus.load_embeddings(spark, sf))
+
+
+def _q_corpus_sample(spark, sf):
+    return fcur.stratified_sample(_C(spark, sf))
+
+
+def _q_doc_top_terms(spark, sf):
+    return fcur.doc_top_terms(_C(spark, sf))
+
+
+def _q_latency_quantiles(spark, sf):
+    return pairs.latency_quantiles(pairs.match_pairs(_T(spark, sf)))
+
+
 def _q_multimodal_meta(spark, sf):
     return fmm.decode_metadata(_C(spark, sf), decoder=CFG.multimodal_decoder)
 
@@ -278,6 +295,16 @@ def _q_tool_rate_1m_streamed(spark, sf):
     return parity.streamed_tool_rate(spark, sf, CFG)
 
 
+def _q_dedup_exact_streamed(spark, sf):
+    """T1 as a REAL streaming stateful aggregation: per-fingerprint
+    (min doc_id, count) state over the doc_id-sliced corpus stream,
+    update-mode deltas through the exactly-once epoch sink, folded and
+    joined back to per-doc rows; oracle = the batch exact-dedup SQL."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_dedup_exact(spark, sf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turns_enriched": _q_turns_enriched,
@@ -310,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_streamed": _q_snapshot_streamed,
         "sessions_streamed": _q_sessions_streamed,
         "tool_rate_1m_streamed": _q_tool_rate_1m_streamed,
+        "dedup_exact_streamed": _q_dedup_exact_streamed,
         # training-data pipeline ops (documents/embeddings)
         "doc_stats": _q_doc_stats,
         "doc_lang_id": _q_doc_lang_id,
@@ -321,6 +349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": _q_dedup_embedding,
         "ann_topk_brute": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
+        "corpus_sample": _q_corpus_sample,
+        "doc_top_terms": _q_doc_top_terms,
+        "latency_quantiles": _q_latency_quantiles,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
     }
@@ -398,12 +430,17 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": ftext.lang_id_oracle(fcorpus.CORPUS_CTE),
         "doc_fingerprint": ftext.fingerprint_oracle(fcorpus.CORPUS_CTE),
         "dedup_exact": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
+        "dedup_exact_streamed": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
         "dedup_minhash_lsh": fdedup.minhash_lsh_oracle(fcorpus.CORPUS_CTE),
         "dedup_simhash": fdedup.simhash_oracle(fcorpus.CORPUS_CTE),
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
         "dedup_embedding": fdedup.embedding_dup_oracle(),
         "ann_topk_brute": fsim.ann_bruteforce_oracle(fcorpus.EMB_CTE),
         "ann_topk_lsh": fsim.ann_lsh_oracle(fcorpus.EMB_CTE),
+        "ann_topk_ivf": fsim.ann_ivf_oracle(fcorpus.EMB_CTE),
+        "corpus_sample": fcur.stratified_sample_oracle(fcorpus.CORPUS_CTE),
+        "doc_top_terms": fcur.doc_top_terms_oracle(fcorpus.CORPUS_CTE),
+        "latency_quantiles": _W + pairs.latency_quantiles_oracle_sql(),
         "multimodal_meta": fmm.decode_metadata_oracle(fcorpus.CORPUS_CTE),
         "multimodal_frames": fmm.frame_sample_oracle(fcorpus.CORPUS_CTE),
     }

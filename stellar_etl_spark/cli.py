@@ -50,6 +50,9 @@ def _tables(cfg: EngineConfig):
         "role_rate": lambda df: rollups.role_rate(df, cfg),
         "tool_rate_sliding": lambda df: rollups.tool_rate_sliding(df, cfg),
         "pairs": lambda df: pairs.match_pairs(df, cfg),
+        "latency_quantiles": lambda df: pairs.latency_quantiles(
+            pairs.match_pairs(df, cfg)
+        ),
         "last_state": state.compact_last_state,
         "fact_tool_events": star.normalize_star,
         "tool_sequences": star.tool_sequences,
@@ -146,6 +149,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     tables = {n: (lambda fn: (lambda df: _with_extras(fn(df))))(f)
               for n, f in _tables(cfg).items()}
     selected = tables if args.table == "all" else {args.table: tables[args.table]}
+
+    # global (non-incremental) aggregates: running them per micro-batch
+    # in the fan-out would silently change their semantics to per-batch,
+    # so stream mode rejects (explicit table) or skips (export-all) them
+    batch_only = {"latency_quantiles"}
+    if args.stream:
+        if args.table in batch_only:
+            raise SystemExit(f"--stream not supported for {args.table} "
+                             "(global aggregate; run it in batch mode)")
+        selected = {n: f for n, f in selected.items() if n not in batch_only}
 
     own_session = spark is None
     if own_session:

@@ -20,7 +20,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -97,6 +97,13 @@ def _hashes_df(corpus: DataFrame) -> DataFrame:
 
 
 # --- 1. exact dedup --------------------------------------------------------
+
+def exact_fingerprint() -> Column:
+    """The exact-dedup identity fingerprint of `text` as a Column —
+    shared by the batch operator and the streaming variant
+    (streaming/parity.streamed_dedup_exact)."""
+    return F.expr(H.char_hash_wide(_norm_expr(True), spark=True))
+
 
 def exact_dedup(corpus: DataFrame) -> DataFrame:
     """Hash-groupBy exact dedup on the normalized-text fingerprint:

@@ -34,6 +34,14 @@ N_QUERIES = 8
 TOP_K_BRUTE = 10
 TOP_K_LSH = 5
 ANN_TABLES = 4
+# IVF coarse quantizer: centroids = corpus rows with
+# vec_id % IVF_CENT_MOD == IVF_CENT_RESIDUE (~N/31 lists, i.e. the
+# list count grows with the corpus — the sqrt(N)-ish sizing rule);
+# queries probe their IVF_NPROBE nearest lists.
+TOP_K_IVF = 5
+IVF_NPROBE = 2
+IVF_CENT_MOD = 31
+IVF_CENT_RESIDUE = 7
 
 
 def _bucket_expr(emb: str, spark: bool, table: int = 0) -> str:
@@ -147,6 +155,143 @@ def ann_lsh(emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K_LSH) -> D
         .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
                 F.col("rank").cast("long").alias("rank"))
     )
+
+
+def ann_ivf(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K_IVF,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path.
+
+    Every vector is assigned to its nearest "centroid" (argmax cosine,
+    ties by centroid id); a query probes its ``nprobe`` nearest
+    centroid lists and ranks exact cosine over only those lists'
+    members. Centroids here are the deterministic subset
+    ``vec_id % IVF_CENT_MOD == IVF_CENT_RESIDUE`` — corpus-sampled
+    seeds, the zero-iteration special case of k-means (production runs
+    Lloyd iterations on the same assignment plan; the plan shape below
+    is identical per iteration and the oracle stays exact because
+    seeding is data-deterministic, not RNG).
+
+    Scale shape (100 TB): the centroid table is ~N/IVF_CENT_MOD rows
+    and broadcast; assignment is a broadcast nested-loop over C
+    centroids + ONE hash aggregation on vec_id via min_by (map-side
+    combine, no window sort over the corpus); the candidate join
+    shuffles on the centroid-list id only — per-query work is
+    nprobe/C of the corpus instead of all of it (the brute baseline).
+    recall knob = nprobe, memory knob = C ~ sqrt(N)."""
+    withn = emb.withColumn("nrm", F.expr(H.norm_fold("emb", spark=True)))
+    cents = F.broadcast(
+        withn.filter(
+            F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_RESIDUE
+        ).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("emb").alias("cemb"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    cos = F.expr(
+        f"{H.dot_fold('emb', 'cemb', spark=True)} / (sqrt(nrm) * sqrt(cnrm))"
+    )
+    scored_cents = withn.crossJoin(cents).withColumn("ccos", cos)
+    # corpus-side assignment: ONE aggregation, no corpus-wide window
+    assign = scored_cents.groupBy("vec_id").agg(
+        F.min_by(
+            F.col("cent_id"), F.struct((-F.col("ccos")).alias("nc"), F.col("cent_id"))
+        ).alias("list_id")
+    )
+    # query-side probes: tiny (n_queries x C), window rank is fine
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    probes = (
+        scored_cents.filter(F.col("vec_id") < n_queries)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id"))
+    )
+    q = F.broadcast(
+        withn.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    members = withn.join(assign, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "list_id",
+    )
+    cand = (
+        F.broadcast(probes).join(members, "list_id")
+        .join(q, "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = cand.withColumn(
+        "cos_sim", F.expr(f"{H.dot_fold('qe', 'ce', spark=True)} / (sqrt(qn) * sqrt(cn))")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def ann_ivf_oracle(
+    emb_cte: str,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K_IVF,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    dotc = H.dot_fold("v.emb", "c.emb", spark=False)
+    dotq = H.dot_fold("q.emb", "m.emb", spark=False)
+    nf = H.norm_fold("emb", spark=False)
+    return f"""WITH {emb_cte},
+nrms AS (SELECT vec_id, emb, {nf} AS nrm FROM emb),
+cents AS (SELECT vec_id AS cent_id, emb, nrm FROM nrms
+          WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_RESIDUE}),
+scored_cents AS (
+  SELECT v.vec_id, c.cent_id,
+         {dotc} / (sqrt(v.nrm) * sqrt(c.nrm)) AS ccos
+  FROM nrms v CROSS JOIN cents c
+),
+assign AS (
+  SELECT vec_id, cent_id AS list_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cent_id) AS rn
+    FROM scored_cents
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS list_id FROM (
+    SELECT vec_id, cent_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cent_id) AS pr
+    FROM scored_cents WHERE vec_id < {n_queries}
+  ) WHERE pr <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {dotq} / (sqrt(q.nrm) * sqrt(m.nrm)) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY cd.query_id
+                            ORDER BY {dotq} / (sqrt(q.nrm) * sqrt(m.nrm)) DESC,
+                                     cd.neighbor_id) AS rank
+  FROM cand cd
+  JOIN nrms q ON q.vec_id = cd.query_id
+  JOIN nrms m ON m.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def ann_lsh_oracle(emb_cte: str, n_queries: int = N_QUERIES, k: int = TOP_K_LSH) -> str:

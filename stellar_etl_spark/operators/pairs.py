@@ -76,7 +76,7 @@ def match_pairs(df: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
     )
 
 
-PAIRS_ORACLE_SQL = """
+_PAIRS_CTES = """
     , marked AS (
       SELECT conv_id, turn_idx, role, tool, ts,
         MIN(CASE WHEN role <> 'user' THEN turn_idx END)
@@ -93,6 +93,9 @@ PAIRS_ORACLE_SQL = """
                   THEN m.resp_idx END AS response_turn_idx
       FROM marked m WHERE m.role = 'user'
     )
+"""
+
+_PAIRS_SELECT = """
     SELECT u.conv_id,
            u.user_turn_idx,
            u.response_turn_idx,
@@ -105,3 +108,88 @@ PAIRS_ORACLE_SQL = """
     LEFT JOIN transcripts r
       ON r.conv_id = u.conv_id AND r.turn_idx = u.response_turn_idx
 """
+
+PAIRS_ORACLE_SQL = _PAIRS_CTES + _PAIRS_SELECT
+
+# --- exact latency quantiles ------------------------------------------------
+# Percentiles in permille so interpolation positions stay in integer
+# arithmetic until ONE final double division on both engines (p*(n-1)
+# splits into k = DIV 1000 and rem = MOD 1000; q = lo + rem/1000*(hi-lo)
+# is then the same IEEE op sequence in Spark and DuckDB -> bit-exact,
+# no dependence on either engine's built-in quantile interpolation).
+QUANTILES_PERMILLE = (500, 900, 990)
+
+
+def latency_quantiles(pairs: DataFrame) -> DataFrame:
+    """Exact p50/p90/p99 response latency per responder (tool, or role
+    when the response used no tool), from matched pairs only.
+
+    Linear-interpolated exact quantiles (the Hive/`percentile`
+    definition: position p*(n-1) on the sorted values) computed with
+    explicit rank arithmetic — one shuffle on the responder key, one
+    window sort per group, conditional aggregation picks the two
+    straddling ranks. At 100 TB the group count is vocabulary-sized
+    (tools), so the window sort is per-responder and parallel; for
+    sketch-based approximations at higher cardinality swap in
+    approx_percentile — this operator is the exact driver-checked
+    form."""
+    matched = pairs.filter(~F.col("evicted_unmatched")).select(
+        F.coalesce("response_tool", "response_role").alias("responder"),
+        "latency_s",
+    )
+    w = Window.partitionBy("responder").orderBy("latency_s")
+    ranked = matched.select(
+        "responder",
+        "latency_s",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("responder")).alias("n"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
+    for pm in QUANTILES_PERMILLE:
+        k = F.expr(f"({pm} * (n - 1)) div 1000")
+        rem = (F.lit(pm) * (F.col("n") - 1)) % 1000
+        lo = F.max(F.when(F.col("rn") == k + 1, F.col("latency_s")))
+        hi = F.max(
+            F.when(F.col("rn") == F.least(k + 2, F.col("n")), F.col("latency_s"))
+        )
+        d = rem.cast("double") / 1000.0
+        # rem is constant per group; max() carries it through the agg
+        q = lo + F.max(d) * (hi - lo)
+        aggs.append(F.round(q, 6).alias(f"p{pm}"))
+    return (
+        ranked.groupBy("responder")
+        .agg(*aggs)
+        .select("responder", "n_pairs", *[f"p{pm}" for pm in QUANTILES_PERMILLE])
+    )
+
+
+def latency_quantiles_oracle_sql() -> str:
+    cols = []
+    for pm in QUANTILES_PERMILLE:
+        cols.append(
+            f"ROUND(MAX(CASE WHEN rn = ({pm} * (n - 1)) // 1000 + 1 THEN latency_s END)"
+            f" + MAX(CAST(({pm} * (n - 1)) % 1000 AS DOUBLE) / 1000.0)"
+            f" * (MAX(CASE WHEN rn = LEAST(({pm} * (n - 1)) // 1000 + 2, n)"
+            f"              THEN latency_s END)"
+            f"    - MAX(CASE WHEN rn = ({pm} * (n - 1)) // 1000 + 1 THEN latency_s END)),"
+            f" 6) AS p{pm}"
+        )
+    qcols = ",\n         ".join(cols)
+    return (
+        _PAIRS_CTES
+        + ", pairs AS ("
+        + _PAIRS_SELECT
+        + """), matched AS (
+      SELECT COALESCE(response_tool, response_role) AS responder, latency_s
+      FROM pairs WHERE NOT evicted_unmatched
+    ), ranked AS (
+      SELECT responder, latency_s,
+             ROW_NUMBER() OVER (PARTITION BY responder ORDER BY latency_s) AS rn,
+             COUNT(*) OVER (PARTITION BY responder) AS n
+      FROM matched
+    )
+  SELECT responder, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         """
+        + qcols
+        + "\n  FROM ranked GROUP BY responder"
+    )

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from stellar_etl_spark.config import DEFAULT, EngineConfig
 from stellar_etl_spark.sources.transcripts import load_transcripts
+from stellar_etl_spark.streaming.sink import EpochCommitSink
 from stellar_etl_spark.streaming.source import read_transcript_stream
 
 CLOSER_CONV = "__closer__"
@@ -260,6 +261,121 @@ def streamed_tool_rate(
     ).withWatermark("ts", PARITY_DELAY)
     out = _drain_append(tool_rate(stream, cfg, exact="set"), "tool_rate")
     return spark.read.parquet(out).filter(F.col("tool") != CLOSER_CONV)
+
+
+def _doc_slice_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Materialize the dedup corpus as doc_id-range parquet slices with
+    strictly increasing mtimes (same pickup-order pinning as
+    _slice_dir). Cached per sf_dir."""
+    from stellar_etl_spark.functions.corpus import load_corpus
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_parity", f"docs-v1-{key}-{n_files}"
+    )
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    import shutil
+    import time as _time
+
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+    stage = out + ".stage"
+    (
+        load_corpus(spark, sf_dir)
+        .repartitionByRange(n_files, "doc_id")
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    parts = sorted(
+        f for f in os.listdir(stage) if f.startswith("part-") and f.endswith(".parquet")
+    )
+    t0 = _time.time() - 2.0 * (len(parts) + 1)
+    for i, f in enumerate(parts):
+        dst = os.path.join(out, f"slice-{i:05d}.parquet")
+        shutil.move(os.path.join(stage, f), dst)
+        os.utime(dst, (t0 + 2.0 * i, t0 + 2.0 * i))
+    shutil.rmtree(stage)
+    with open(marker, "w") as f:
+        f.write(str(len(parts)))
+    return out
+
+
+DEDUP_TABLE = "dedup"
+
+
+def streamed_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run exact dedup as a REAL streaming stateful aggregation: the
+    corpus streamed in doc_id-range slices, per-fingerprint
+    (min doc_id, count) state maintained by an update-mode aggregation,
+    deltas committed exactly-once through the epoch sink, folded back
+    (latest epoch per fingerprint wins — cumulative aggregates make the
+    fold order-safe), then joined to the narrow per-doc fingerprint map
+    to emit the same per-doc table as the batch operator. Oracle: the
+    batch exact_dedup SQL.
+
+    This is the streaming shape of T1 at 100 TB: dedup state keyed by
+    the ~60-bit fingerprint lives in the state store (RocksDB at real
+    state sizes), new documents join the stream, and the group-state
+    aggregation IS the seen-map — distributed, checkpointed, and
+    exactly-once, vs the reference's in-process seen-hash map
+    (/root/reference/cmd/export_assets.go:40-58)."""
+    from stellar_etl_spark.functions.dedup import exact_fingerprint
+
+    src_dir = _doc_slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_dedup_")
+    sink = EpochCommitSink(os.path.join(work, "sink"))
+    schema = "doc_id bigint, text string, lang string, source string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.select(F.col("doc_id"), exact_fingerprint().alias("fp64"))
+        .groupBy("fp64")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        sink.write_epoch(
+            epoch_id,
+            {DEDUP_TABLE: batch_df.withColumn("epoch_id", F.lit(epoch_id))},
+        )
+
+    q = (
+        agg.writeStream.queryName("parity_dedup")
+        .outputMode("update")
+        .foreachBatch(_write)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    deltas = sink.read_table(spark, DEDUP_TABLE)
+    latest = F.max_by(
+        F.struct("keep_doc_id", "n_copies"), F.col("epoch_id")
+    ).alias("s")
+    folded = (
+        deltas.groupBy("fp64")
+        .agg(latest)
+        .select("fp64", F.col("s.keep_doc_id").alias("keep_doc_id"),
+                F.col("s.n_copies").alias("n_copies"))
+    )
+    from stellar_etl_spark.functions.corpus import load_corpus
+
+    docs = load_corpus(spark, sf_dir).select(
+        "doc_id", exact_fingerprint().alias("fp64")
+    )
+    return docs.join(folded, "fp64").select(
+        "doc_id", "fp64", "keep_doc_id", "n_copies"
+    )
 
 
 def streamed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:

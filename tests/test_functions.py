@@ -150,3 +150,84 @@ def test_mapinpandas_batch_plumbing(spark, corpus):
     out = fmm.decode_metadata(corpus)
     assert out.schema == fmm.DECODED_SCHEMA
     assert out.count() == corpus.count()
+
+
+# --- curation: stratified sampling + tf-idf top terms ----------------------
+
+def test_stratified_sample_deterministic_and_within_quota(spark, corpus):
+    from stellar_etl_spark.functions import curation as fcur
+
+    a = {r["doc_id"] for r in fcur.stratified_sample(corpus).collect()}
+    b = {r["doc_id"] for r in
+         fcur.stratified_sample(corpus.repartition(13)).collect()}
+    assert a == b and len(a) > 0  # membership independent of partitioning
+
+    # per-stratum admit rate ~ quota (hash-threshold gate; generous tol)
+    totals = {r["lang"]: r["n"] for r in
+              corpus.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    sampled = {r["lang"]: r["n"] for r in
+               fcur.stratified_sample(corpus).groupBy("lang").count()
+               .withColumnRenamed("count", "n").collect()}
+    for lang, pm in fcur.SAMPLE_PERMILLE.items():
+        if totals.get(lang, 0) >= 50:
+            rate = sampled.get(lang, 0) / totals[lang]
+            assert abs(rate - pm / 1000) < 0.2, (lang, rate, pm)
+
+
+def test_sample_rate_monotone(spark, corpus):
+    """Raising a stratum's quota only ADDS docs (hash-threshold
+    property) — re-tuning quotas never resamples the corpus."""
+    from stellar_etl_spark.functions import curation as fcur
+
+    orig = dict(fcur.SAMPLE_PERMILLE)
+    try:
+        low = {r["doc_id"] for r in fcur.stratified_sample(corpus).collect()}
+        fcur.SAMPLE_PERMILLE = {k: min(1000, v + 300) for k, v in orig.items()}
+        high = {r["doc_id"] for r in fcur.stratified_sample(corpus).collect()}
+    finally:
+        fcur.SAMPLE_PERMILLE = orig
+    assert low < high
+
+
+def test_top_terms_rare_token_wins(spark):
+    """A token unique to one doc must outrank corpus-wide stopwords."""
+    from stellar_etl_spark.functions import curation as fcur
+
+    rows = [(i, "the quick brown fox " + ("zzyzx " if i == 0 else "")) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = fcur.doc_top_terms(docs, k=1).filter("doc_id = 0").collect()
+    assert len(top) == 1 and top[0]["token"] == "zzyzx" and top[0]["df"] == 1
+
+
+def test_ann_ivf_recall_vs_brute(spark):
+    """IVF candidates are a subset ranked exactly: every IVF hit must
+    agree with the brute-force oracle's cos_sim for that pair, and
+    recall@5 over the probed lists should be high on sf0.01."""
+    emb = fcorpus.load_embeddings(spark, SF_SMALL)
+    brute = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+             for r in fsim.ann_bruteforce(emb, k=5).collect()}
+    ivf = fsim.ann_ivf(emb, k=5).collect()
+    assert len(ivf) > 0
+    hits = sum((r["query_id"], r["neighbor_id"]) in brute for r in ivf)
+    for r in ivf:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert brute[key] == r["cos_sim"]  # same fold -> bit-exact
+    assert hits / len(brute) >= 0.4  # nprobe=2 of ~N/31 lists
+
+
+def test_latency_quantiles_known_values(spark):
+    """Hand-checkable group: latencies 0..4 -> p50=2, p90=3.6, p99=3.96."""
+    from stellar_etl_spark.operators import pairs as P
+
+    rows = [("c", i, i, "tool", "grep", float(i), False) for i in range(5)]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, user_turn_idx int, response_turn_idx int, "
+        "response_role string, response_tool string, latency_s double, "
+        "evicted_unmatched boolean",
+    )
+    out = {r["responder"]: r for r in P.latency_quantiles(df).collect()}
+    g = out["grep"]
+    assert g["n_pairs"] == 5
+    assert g["p500"] == 2.0 and g["p900"] == 3.6 and g["p990"] == 3.96
