@@ -29,6 +29,7 @@ from stellar_etl_spark.functions import text as ftext
 from stellar_etl_spark.operators import (
     dims,
     exchange,
+    journeys,
     pairs,
     rollups,
     sessions,
@@ -204,6 +205,22 @@ def _q_latency_quantiles(spark, sf):
     return pairs.latency_quantiles(pairs.match_pairs(_T(spark, sf)))
 
 
+def _q_quality_funnel(spark, sf):
+    return fcur.quality_funnel(_C(spark, sf))
+
+
+def _q_doc_repetition(spark, sf):
+    return fcur.doc_repetition(_C(spark, sf))
+
+
+def _q_conv_retention(spark, sf):
+    return journeys.conv_retention(_T(spark, sf))
+
+
+def _q_tool_transitions(spark, sf):
+    return journeys.tool_transitions(_T(spark, sf))
+
+
 def _q_multimodal_meta(spark, sf):
     return fmm.decode_metadata(_C(spark, sf), decoder=CFG.multimodal_decoder)
 
@@ -353,6 +370,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": _q_corpus_sample,
         "doc_top_terms": _q_doc_top_terms,
         "latency_quantiles": _q_latency_quantiles,
+        "quality_funnel": _q_quality_funnel,
+        "doc_repetition": _q_doc_repetition,
+        "conv_retention": _q_conv_retention,
+        "tool_transitions": _q_tool_transitions,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
     }
@@ -441,6 +462,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": fcur.stratified_sample_oracle(fcorpus.CORPUS_CTE),
         "doc_top_terms": fcur.doc_top_terms_oracle(fcorpus.CORPUS_CTE),
         "latency_quantiles": _W + pairs.latency_quantiles_oracle_sql(),
+        "quality_funnel": fcur.quality_funnel_oracle(fcorpus.CORPUS_CTE),
+        "doc_repetition": fcur.doc_repetition_oracle(fcorpus.CORPUS_CTE),
+        "conv_retention": _W + journeys.RETENTION_ORACLE_SQL,
+        "tool_transitions": _W + journeys.TRANSITIONS_ORACLE_SQL,
         "multimodal_meta": fmm.decode_metadata_oracle(fcorpus.CORPUS_CTE),
         "multimodal_frames": fmm.frame_sample_oracle(fcorpus.CORPUS_CTE),
     }

@@ -35,6 +35,7 @@ def _tables(cfg: EngineConfig):
     from stellar_etl_spark.operators import (
         dims,
         exchange,
+        journeys,
         pairs,
         rollups,
         sessions,
@@ -62,6 +63,8 @@ def _tables(cfg: EngineConfig):
         "state_conv_tools": state.state_conv_tools,
         "exchanges": exchange.exchanges,
         "conv_participants": dims.conv_participants,
+        "conv_retention": journeys.conv_retention,
+        "tool_transitions": journeys.tool_transitions,
     }
 
 
@@ -153,7 +156,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # global (non-incremental) aggregates: running them per micro-batch
     # in the fan-out would silently change their semantics to per-batch,
     # so stream mode rejects (explicit table) or skips (export-all) them
-    batch_only = {"latency_quantiles"}
+    batch_only = {"latency_quantiles", "conv_retention", "tool_transitions"}
     if args.stream:
         if args.table in batch_only:
             raise SystemExit(f"--stream not supported for {args.table} "

@@ -98,6 +98,201 @@ FROM gated WHERE sample_gate < rate_permille
 """
 
 
+# --- quality-filter funnel ---------------------------------------------------
+# Ordered curation gates; a doc is dropped at its FIRST failed stage.
+# Thresholds compare values that are computed with the identical
+# expression on both engines (counts, or ratios rounded to 6dp before
+# the comparison), so stage membership is deterministic cross-engine.
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MAX_PUNCT = 0.2
+
+
+def _funnel_first_fail(spark: bool) -> str:
+    """1-based index of the first failed gate, 99 if the doc survives.
+    Gates: (1) >= FUNNEL_MIN_TOKENS whitespace tokens, (2) punct ratio
+    <= FUNNEL_MAX_PUNCT, (3) has at least one English stopword
+    (language-evidence gate), (4) is its exact-dedup group's canonical
+    doc (keep_doc_id = doc_id)."""
+    tok = H.tokens("text", spark)
+    size = "size" if spark else "len"
+    repl = (
+        "regexp_replace(text, '[^.,;:!?]', '')"
+        if spark
+        else "regexp_replace(text, '[^.,;:!?]', '', 'g')"
+    )
+    punct = (
+        f"round(CAST(length({repl}) AS DOUBLE)"
+        f" / greatest(length(text), 1), 6)"
+    )
+    stop_list = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'"
+    if spark:
+        has_stop = f"size(filter({tok}, t -> t IN ({stop_list}))) > 0"
+    else:
+        has_stop = f"len(list_filter({tok}, t -> t IN ({stop_list}))) > 0"
+    return (
+        f"CASE WHEN {size}({tok}) < {FUNNEL_MIN_TOKENS} THEN 1 "
+        f"WHEN {punct} > {FUNNEL_MAX_PUNCT} THEN 2 "
+        f"WHEN NOT ({has_stop}) THEN 3 "
+        f"WHEN keep_doc_id <> doc_id THEN 4 "
+        f"ELSE 99 END"
+    )
+
+
+FUNNEL_STAGES = ["min_tokens", "max_punct", "lang_evidence", "exact_dedup"]
+
+
+def quality_funnel(docs: DataFrame) -> DataFrame:
+    """Per-stage curation funnel report: docs_in / docs_dropped /
+    docs_out for each ordered gate — the curation-pipeline analog of
+    the reference's attempted/successful/failed transform counters
+    (/root/reference/cmd/command_utils.go:90-103), as data instead of
+    stderr prints.
+
+    Shape: one narrow map computes each doc's first-failed stage (the
+    dedup gate reuses the exact-fingerprint window), ONE aggregation
+    produces per-stage drop counts, and the cumulative docs_in walk
+    happens over the stage-count table (rows = #stages) — corpus gets
+    scanned once regardless of stage count."""
+    from .dedup import exact_dedup
+
+    keep = exact_dedup(docs).select("doc_id", "keep_doc_id")
+    staged = docs.join(keep, "doc_id").select(
+        "doc_id", F.expr(_funnel_first_fail(spark=True)).alias("first_fail")
+    )
+    counts = staged.groupBy("first_fail").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # tiny table from here on (<= #stages + 1 rows)
+    stage_rows = [
+        (i + 1, name) for i, name in enumerate(FUNNEL_STAGES)
+    ]
+    stages = docs.sparkSession.createDataFrame(
+        stage_rows, "stage_idx int, stage string"
+    )
+    total = docs.count()
+    joined = stages.join(
+        counts, stages.stage_idx == counts.first_fail, "left"
+    ).select(
+        "stage_idx", "stage", F.coalesce("n", F.lit(0)).cast("long").alias("docs_dropped")
+    )
+    w = Window.orderBy("stage_idx").rowsBetween(Window.unboundedPreceding, -1)
+    return joined.select(
+        F.col("stage_idx").cast("long").alias("stage_idx"),
+        "stage",
+        (F.lit(total) - F.coalesce(F.sum("docs_dropped").over(w), F.lit(0)))
+        .cast("long")
+        .alias("docs_in"),
+        "docs_dropped",
+        (
+            F.lit(total)
+            - F.coalesce(F.sum("docs_dropped").over(w), F.lit(0))
+            - F.col("docs_dropped")
+        )
+        .cast("long")
+        .alias("docs_out"),
+    )
+
+
+def quality_funnel_oracle(corpus_cte: str) -> str:
+    ff = _funnel_first_fail(spark=False)
+    stage_values = ", ".join(
+        f"({i + 1}, '{s}')" for i, s in enumerate(FUNNEL_STAGES)
+    )
+    return f"""WITH {corpus_cte},
+keeps AS (
+  SELECT doc_id, text,
+         MIN(doc_id) OVER (PARTITION BY fp64) AS keep_doc_id
+  FROM (SELECT doc_id, text,
+               {_fp64_duck()} AS fp64
+        FROM corpus)
+),
+staged AS (SELECT doc_id, {ff} AS first_fail FROM keeps),
+counts AS (SELECT first_fail, CAST(COUNT(*) AS BIGINT) AS n
+           FROM staged GROUP BY first_fail),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM staged),
+stages(stage_idx, stage) AS (VALUES {stage_values}),
+joined AS (
+  SELECT s.stage_idx, s.stage, COALESCE(c.n, 0) AS docs_dropped
+  FROM stages s LEFT JOIN counts c ON c.first_fail = s.stage_idx
+)
+SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+       CAST(t - COALESCE(SUM(docs_dropped) OVER (ORDER BY stage_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS docs_in,
+       CAST(docs_dropped AS BIGINT) AS docs_dropped,
+       CAST(t - COALESCE(SUM(docs_dropped) OVER (ORDER BY stage_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          - docs_dropped AS BIGINT) AS docs_out
+FROM joined CROSS JOIN total
+"""
+
+
+def _fp64_duck() -> str:
+    from .dedup import _norm_expr
+
+    return H.char_hash_wide(_norm_expr(False), spark=False)
+
+
+# --- intra-document repetition ----------------------------------------------
+
+def doc_repetition(docs: DataFrame) -> DataFrame:
+    """Per-document boilerplate signal: 3-gram shingle totals, distinct
+    count, the hottest shingle's occurrence count, and the repetition
+    ratio 1 - distinct/total (rounded 6dp; 0 for docs under 3 tokens).
+
+    Shape: narrow shingle map -> explode -> two-level aggregation
+    keyed by (doc_id, shingle) then doc_id — both combine map-side, so
+    the shuffle carries per-doc-per-distinct-shingle partials, not raw
+    occurrences."""
+    tok = H.tokens("text", spark=True)
+    wh = f"transform({tok}, t -> {H.char_hash('t', True)})"
+    sh = H.shingle_hashes_from_words(wh, 3, spark=True)
+    ex = docs.select("doc_id", F.explode(F.expr(sh)).alias("h"))
+    per_sh = ex.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_sh.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_shingles"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("max_repeat"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        F.coalesce("max_repeat", F.lit(0)).cast("long").alias("max_repeat"),
+        F.when(
+            F.coalesce("n_shingles", F.lit(0)) > 0,
+            F.round(
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_shingles"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("repetition_ratio"),
+    )
+
+
+def doc_repetition_oracle(corpus_cte: str) -> str:
+    tok = H.tokens("text", spark=False)
+    wh = f"list_transform({tok}, t -> {H.char_hash('t', False)})"
+    sh = H.shingle_hashes_from_words(wh, 3, spark=False)
+    return f"""WITH {corpus_cte},
+ex AS (SELECT doc_id, unnest({sh}) AS h FROM corpus),
+per_sh AS (SELECT doc_id, h, COUNT(*) AS c FROM ex GROUP BY doc_id, h),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_shingles,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         CAST(MAX(c) AS BIGINT) AS max_repeat
+  FROM per_sh GROUP BY doc_id
+)
+SELECT c.doc_id,
+       COALESCE(a.n_shingles, 0) AS n_shingles,
+       COALESCE(a.n_distinct, 0) AS n_distinct,
+       COALESCE(a.max_repeat, 0) AS max_repeat,
+       CASE WHEN COALESCE(a.n_shingles, 0) > 0
+            THEN ROUND(1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_shingles, 6)
+            ELSE 0.0 END AS repetition_ratio
+FROM corpus c LEFT JOIN agg a ON a.doc_id = c.doc_id
+"""
+
+
 def doc_top_terms(docs: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
     """Per-document top-k tokens by tf-idf (linear idf: tf * N / df).
 

@@ -1,0 +1,94 @@
+"""Conversation-journey analytics: retention cohorts and tool
+transition matrices.
+
+Reference analog: the reference's per-ledger aggregation surface stops
+at counts-per-close (`transform_ledger`'s successful/failed tallies,
+/root/reference/internal/transform/ledger.go:20-96); an analytics
+engine over the same event stream also answers longitudinal questions —
+"of the conversations that started on day X, how many were active on
+day Y?" (retention) and "which tool follows which?" (transition
+matrix, the operation-ordering analog of the TOID's within-ledger
+sequencing, /root/reference/internal/toid/main.go:32-56).
+
+Scale notes (100 TB):
+* ``conv_retention``: cohort assignment is one groupBy(conv_id) min —
+  map-side combined; the activity matrix aggregates (conv_id, day)
+  pairs that were already deduped in the same shuffle. Output is
+  days x days, metadata-sized.
+* ``tool_transitions``: lag() needs (conv_id) partitioning — the same
+  partitioning every per-conversation operator here uses, so on a
+  bucketed store (sources/bucketed.py) the window sort is shuffle-free;
+  output is |tools|^2 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def conv_retention(df: DataFrame) -> DataFrame:
+    """Cohort retention matrix: conversations grouped by their first
+    active day; one row per (cohort_day, activity_day) with the number
+    of cohort conversations active that day and the day offset."""
+    days = df.select("conv_id", F.to_date("ts").alias("activity_day")).distinct()
+    cohort = days.groupBy("conv_id").agg(F.min("activity_day").alias("cohort_day"))
+    return (
+        days.join(cohort, "conv_id")
+        .groupBy("cohort_day", "activity_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
+        .select(
+            "cohort_day",
+            "activity_day",
+            F.datediff("activity_day", "cohort_day").cast("long").alias("day_offset"),
+            "n_convs",
+        )
+    )
+
+
+RETENTION_ORACLE_SQL = """
+    , days AS (
+      SELECT DISTINCT conv_id, CAST(ts AS DATE) AS activity_day FROM transcripts
+    ), cohort AS (
+      SELECT conv_id, MIN(activity_day) AS cohort_day FROM days GROUP BY conv_id
+    )
+    SELECT c.cohort_day, d.activity_day,
+           CAST(d.activity_day - c.cohort_day AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_convs
+    FROM days d JOIN cohort c USING (conv_id)
+    GROUP BY c.cohort_day, d.activity_day
+"""
+
+
+def tool_transitions(df: DataFrame) -> DataFrame:
+    """First-order tool transition counts: for each conversation's
+    tool-bearing turns in turn order, count (previous tool -> tool)
+    bigrams across the corpus; '__start__' marks a conversation's
+    first tool use."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    tools = df.filter(F.col("tool").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.lag("tool").over(w).alias("prev_tool"),
+    )
+    return (
+        tools.groupBy(
+            F.coalesce("prev_tool", F.lit("__start__")).alias("prev_tool"),
+            "tool",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+
+
+TRANSITIONS_ORACLE_SQL = """
+    , tools AS (
+      SELECT conv_id, turn_idx, tool,
+             LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+      FROM transcripts WHERE tool IS NOT NULL
+    )
+    SELECT COALESCE(prev_tool, '__start__') AS prev_tool, tool,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions
+    FROM tools GROUP BY COALESCE(prev_tool, '__start__'), tool
+"""

@@ -231,3 +231,66 @@ def test_latency_quantiles_known_values(spark):
     g = out["grep"]
     assert g["n_pairs"] == 5
     assert g["p500"] == 2.0 and g["p900"] == 3.6 and g["p990"] == 3.96
+
+
+def test_quality_funnel_conserves_docs(spark, corpus):
+    """Stage arithmetic must conserve: docs_in = docs_out + dropped,
+    and stage k+1's docs_in = stage k's docs_out."""
+    from stellar_etl_spark.functions import curation as fcur
+
+    rows = sorted(fcur.quality_funnel(corpus).collect(),
+                  key=lambda r: r["stage_idx"])
+    total = corpus.count()
+    assert rows[0]["docs_in"] == total
+    for i, r in enumerate(rows):
+        assert r["docs_in"] == r["docs_out"] + r["docs_dropped"]
+        if i + 1 < len(rows):
+            assert rows[i + 1]["docs_in"] == r["docs_out"]
+    assert rows[-1]["docs_out"] > 0  # something survives on sf0.01
+
+
+def test_doc_repetition_detects_planted_boilerplate(spark):
+    from stellar_etl_spark.functions import curation as fcur
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma " * 10), (2, "one two three four five six")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in fcur.doc_repetition(docs).collect()}
+    assert out[1]["max_repeat"] >= 9 and out[1]["repetition_ratio"] > 0.8
+    assert out[2]["max_repeat"] == 1 and out[2]["repetition_ratio"] == 0.0
+
+
+def test_conv_retention_day0_equals_cohort_size(spark):
+    """Every conversation is active on its own cohort day, so the
+    day_offset=0 row of a cohort counts the full cohort."""
+    from stellar_etl_spark.operators import journeys
+    from stellar_etl_spark.sources.transcripts import load_transcripts
+    from conftest import SF_SMALL
+
+    t = load_transcripts(spark, SF_SMALL)
+    ret = journeys.conv_retention(t)
+    day0 = ret.filter("day_offset = 0")
+    import pyspark.sql.functions as F
+    n_convs = t.select("conv_id").distinct().count()
+    assert day0.agg(F.sum("n_convs")).collect()[0][0] == n_convs
+    assert ret.filter("day_offset < 0").count() == 0
+
+
+def test_tool_transitions_bigram_conservation(spark):
+    """Transitions (incl. __start__) must count exactly one bigram per
+    tool-bearing turn."""
+    from stellar_etl_spark.operators import journeys
+    from stellar_etl_spark.sources.transcripts import load_transcripts
+    from conftest import SF_SMALL
+    import pyspark.sql.functions as F
+
+    t = load_transcripts(spark, SF_SMALL)
+    n_tool_turns = t.filter("tool IS NOT NULL").count()
+    tr = journeys.tool_transitions(t)
+    assert tr.agg(F.sum("n_transitions")).collect()[0][0] == n_tool_turns
+    n_convs_with_tools = (
+        t.filter("tool IS NOT NULL").select("conv_id").distinct().count()
+    )
+    starts = tr.filter("prev_tool = '__start__'").agg(F.sum("n_transitions"))
+    assert starts.collect()[0][0] == n_convs_with_tools
