@@ -307,6 +307,11 @@ def doc_top_terms(docs: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
     tf = exploded.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    # tf feeds BOTH the df aggregation and the scored join; without
+    # materialization Catalyst re-derives it from a second corpus
+    # scan + explode + shuffle (plan-verified). Same eager
+    # localCheckpoint pattern as the dedup signature table.
+    tf = tf.localCheckpoint(eager=True)
     df_tbl = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
