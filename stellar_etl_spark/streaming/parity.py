@@ -304,6 +304,56 @@ def _doc_slice_dir(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
 
 
 DEDUP_TABLE = "dedup"
+DOC_STREAM_SCHEMA = "doc_id bigint, text string, lang string, source string"
+
+
+def dedup_stream_agg(stream: DataFrame) -> DataFrame:
+    """Update-mode per-fingerprint dedup state: (min doc_id, count)."""
+    from stellar_etl_spark.functions.dedup import exact_fingerprint
+
+    return (
+        stream.select(F.col("doc_id"), exact_fingerprint().alias("fp64"))
+        .groupBy("fp64")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+        )
+    )
+
+
+def dedup_epoch_writer(sink: EpochCommitSink):
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        sink.write_epoch(
+            epoch_id,
+            {DEDUP_TABLE: batch_df.withColumn("epoch_id", F.lit(epoch_id))},
+        )
+
+    return _write
+
+
+def fold_dedup_sink(spark: SparkSession, sink_root: str, sf_dir: str) -> DataFrame:
+    """Fold the committed dedup deltas (latest epoch per fingerprint —
+    cumulative aggregates make the fold order-safe) and join back to
+    the narrow per-doc fingerprint map."""
+    from stellar_etl_spark.functions.corpus import load_corpus
+    from stellar_etl_spark.functions.dedup import exact_fingerprint
+
+    deltas = EpochCommitSink(sink_root).read_table(spark, DEDUP_TABLE)
+    latest = F.max_by(
+        F.struct("keep_doc_id", "n_copies"), F.col("epoch_id")
+    ).alias("s")
+    folded = (
+        deltas.groupBy("fp64")
+        .agg(latest)
+        .select("fp64", F.col("s.keep_doc_id").alias("keep_doc_id"),
+                F.col("s.n_copies").alias("n_copies"))
+    )
+    docs = load_corpus(spark, sf_dir).select(
+        "doc_id", exact_fingerprint().alias("fp64")
+    )
+    return docs.join(folded, "fp64").select(
+        "doc_id", "fp64", "keep_doc_id", "n_copies"
+    )
 
 
 def streamed_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,60 +372,25 @@ def streamed_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation IS the seen-map — distributed, checkpointed, and
     exactly-once, vs the reference's in-process seen-hash map
     (/root/reference/cmd/export_assets.go:40-58)."""
-    from stellar_etl_spark.functions.dedup import exact_fingerprint
-
     src_dir = _doc_slice_dir(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="parity_dedup_")
-    sink = EpochCommitSink(os.path.join(work, "sink"))
-    schema = "doc_id bigint, text string, lang string, source string"
+    sink_root = os.path.join(work, "sink")
     stream = (
-        spark.readStream.schema(schema)
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    agg = (
-        stream.select(F.col("doc_id"), exact_fingerprint().alias("fp64"))
-        .groupBy("fp64")
-        .agg(
-            F.min("doc_id").cast("long").alias("keep_doc_id"),
-            F.count(F.lit(1)).cast("long").alias("n_copies"),
-        )
-    )
-
-    def _write(batch_df: DataFrame, epoch_id: int) -> None:
-        sink.write_epoch(
-            epoch_id,
-            {DEDUP_TABLE: batch_df.withColumn("epoch_id", F.lit(epoch_id))},
-        )
-
     q = (
-        agg.writeStream.queryName("parity_dedup")
+        dedup_stream_agg(stream)
+        .writeStream.queryName("parity_dedup")
         .outputMode("update")
-        .foreachBatch(_write)
+        .foreachBatch(dedup_epoch_writer(EpochCommitSink(sink_root)))
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-
-    deltas = sink.read_table(spark, DEDUP_TABLE)
-    latest = F.max_by(
-        F.struct("keep_doc_id", "n_copies"), F.col("epoch_id")
-    ).alias("s")
-    folded = (
-        deltas.groupBy("fp64")
-        .agg(latest)
-        .select("fp64", F.col("s.keep_doc_id").alias("keep_doc_id"),
-                F.col("s.n_copies").alias("n_copies"))
-    )
-    from stellar_etl_spark.functions.corpus import load_corpus
-
-    docs = load_corpus(spark, sf_dir).select(
-        "doc_id", exact_fingerprint().alias("fp64")
-    )
-    return docs.join(folded, "fp64").select(
-        "doc_id", "fp64", "keep_doc_id", "n_copies"
-    )
+    return fold_dedup_sink(spark, sink_root, sf_dir)
 
 
 def streamed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -330,3 +330,53 @@ def test_rate_source_drives_pipeline(spark, tmp_path):
     # conv ids within range
     assert {r.role for r in rows} <= {"user", "assistant", "tool"}
     assert all(r.conv_id in {f"c{i}" for i in range(5)} for r in rows)
+
+
+def test_dedup_stream_kill_resume_equals_batch(spark, tmp_path):
+    """T18 resumability: kill the update-mode dedup aggregation after
+    >=2 committed epochs, resume from the same checkpoint, drain; the
+    folded sink must equal the batch exact-dedup table (state store +
+    epoch-idempotent sink survive the restart)."""
+    import time
+
+    from stellar_etl_spark.functions.corpus import load_corpus
+    from stellar_etl_spark.functions.dedup import exact_dedup
+    from stellar_etl_spark.streaming import parity
+
+    sf_dir = "/root/testdata/sf0.001"
+    src_dir = parity._doc_slice_dir(spark, sf_dir)
+    sink_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start(available_now):
+        stream = (
+            spark.readStream.schema(parity.DOC_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        w = (
+            parity.dedup_stream_agg(stream)
+            .writeStream.queryName("dedup_resume")
+            .outputMode("update")
+            .foreachBatch(parity.dedup_epoch_writer(EpochCommitSink(sink_root)))
+            .option("checkpointLocation", ckpt)
+        )
+        w = w.trigger(availableNow=True) if available_now else w.trigger(
+            processingTime="1 second"
+        )
+        return w.start()
+
+    q1 = start(available_now=False)
+    while len(EpochCommitSink(sink_root).committed_epochs()) < 2:
+        time.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(60)
+    assert len(EpochCommitSink(sink_root).committed_epochs()) >= 2
+
+    q2 = start(available_now=True)
+    assert q2.awaitTermination(540), "resumed dedup stream did not finish"
+
+    got = parity.fold_dedup_sink(spark, sink_root, sf_dir)
+    exp = exact_dedup(load_corpus(spark, sf_dir))
+    cols = ["doc_id", "fp64", "keep_doc_id", "n_copies"]
+    assert _rows(got, cols) == _rows(exp, cols)
