@@ -312,6 +312,14 @@ def _q_tool_rate_1m_streamed(spark, sf):
     return parity.streamed_tool_rate(spark, sf, CFG)
 
 
+def _q_tool_rate_5m_sliding_streamed(spark, sf):
+    """Sliding-window rollup (overlapping windows) as a REAL watermarked
+    streaming aggregation; oracle = the batch sliding SQL."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_tool_rate_sliding(spark, sf, CFG)
+
+
 def _q_dedup_exact_streamed(spark, sf):
     """T1 as a REAL streaming stateful aggregation: per-fingerprint
     (min doc_id, count) state over the doc_id-sliced corpus stream,
@@ -355,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions_streamed": _q_sessions_streamed,
         "tool_rate_1m_streamed": _q_tool_rate_1m_streamed,
         "dedup_exact_streamed": _q_dedup_exact_streamed,
+        "tool_rate_5m_sliding_streamed": _q_tool_rate_5m_sliding_streamed,
         # training-data pipeline ops (documents/embeddings)
         "doc_stats": _q_doc_stats,
         "doc_lang_id": _q_doc_lang_id,
@@ -446,6 +455,8 @@ def oracle_sql() -> dict[str, str]:
         "sessions_streamed": _W + sessions.session_oracle_sql("INTERVAL 8 HOUR"),
         "tool_rate_1m_streamed": _W
         + rollups.rate_oracle_sql("tool", 1, "WHERE tool IS NOT NULL"),
+        "tool_rate_5m_sliding_streamed": _W
+        + rollups.sliding_oracle_sql("tool", 5, 1, "WHERE tool IS NOT NULL"),
         # training-data pipeline oracles
         "doc_stats": ftext.doc_stats_oracle(fcorpus.CORPUS_CTE),
         "doc_lang_id": ftext.lang_id_oracle(fcorpus.CORPUS_CTE),

@@ -393,6 +393,26 @@ def streamed_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fold_dedup_sink(spark, sink_root, sf_dir)
 
 
+def streamed_tool_rate_sliding(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    """The sliding-window rollup (overlapping windows — each event
+    lands in length/slide windows) as a REAL watermarked streaming
+    aggregation; values hash-match the batch sliding oracle. Same
+    sentinel construction as streamed_tool_rate; the sentinel's own
+    windows can never finalize, and its reserved tool filters out."""
+    from stellar_etl_spark.operators.rollups import tool_rate_sliding
+
+    src_dir = _slice_dir(spark, sf_dir)
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    ).withWatermark("ts", PARITY_DELAY)
+    out = _drain_append(
+        tool_rate_sliding(stream, cfg, exact="set"), "tool_rate_sliding"
+    )
+    return spark.read.parquet(out).filter(F.col("tool") != CLOSER_CONV)
+
+
 def streamed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain the update-mode snapshot stream through the exactly-once
     epoch sink and fold it; result equals operators/state.
