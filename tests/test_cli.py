@@ -27,7 +27,8 @@ def test_cli_batch_export_all(spark, small_input, tmp_path):
         spark=spark,
     )
     assert rc == 0
-    for table in ["turns", "sessions", "tool_rate", "pairs", "fact_tool_events"]:
+    for table in ["turns", "sessions", "tool_rate", "pairs", "fact_tool_events",
+                  "latency_quantiles", "conv_retention", "tool_transitions"]:
         assert spark.read.parquet(f"{out}/{table}").count() > 0
 
     # batch CLI output == operator output (same cfg, same input)
@@ -203,3 +204,15 @@ def test_jsonl_roundtrip_source(spark, small_input, tmp_path):
     got = sorted(tuple(r[c] for c in cols) for r in back.select(*cols).collect())
     want = sorted(tuple(r[c] for c in cols) for r in orig.select(*cols).collect())
     assert got == want
+
+
+def test_cli_stream_rejects_global_aggregates(spark, small_input, tmp_path):
+    """Global (non-incremental) aggregate tables are batch-only: an
+    explicit --stream export must refuse rather than silently emit
+    per-micro-batch semantics."""
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["export-latency-quantiles", "--stream", "--input", small_input,
+             "--out", str(tmp_path / "s"), "--checkpoint", str(tmp_path / "c")],
+            spark=spark,
+        )
