@@ -221,6 +221,14 @@ def _q_tool_transitions(spark, sf):
     return journeys.tool_transitions(_T(spark, sf))
 
 
+def _q_conv_documents(spark, sf):
+    return journeys.conv_documents(_T(spark, sf))
+
+
+def _q_conv_doc_dedup(spark, sf):
+    return journeys.conv_doc_dedup(_T(spark, sf))
+
+
 def _q_multimodal_meta(spark, sf):
     return fmm.decode_metadata(_C(spark, sf), decoder=CFG.multimodal_decoder)
 
@@ -383,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "conv_retention": _q_conv_retention,
         "tool_transitions": _q_tool_transitions,
+        "conv_documents": _q_conv_documents,
+        "conv_doc_dedup": _q_conv_doc_dedup,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
     }
@@ -477,6 +487,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": fcur.doc_repetition_oracle(fcorpus.CORPUS_CTE),
         "conv_retention": _W + journeys.RETENTION_ORACLE_SQL,
         "tool_transitions": _W + journeys.TRANSITIONS_ORACLE_SQL,
+        "conv_documents": _W + journeys.CONV_DOCUMENTS_ORACLE_SQL,
+        "conv_doc_dedup": _W + journeys.conv_doc_dedup_oracle_sql(),
         "multimodal_meta": fmm.decode_metadata_oracle(fcorpus.CORPUS_CTE),
         "multimodal_frames": fmm.frame_sample_oracle(fcorpus.CORPUS_CTE),
     }

@@ -92,3 +92,78 @@ TRANSITIONS_ORACLE_SQL = """
            CAST(COUNT(*) AS BIGINT) AS n_transitions
     FROM tools GROUP BY COALESCE(prev_tool, '__start__'), tool
 """
+
+
+def conv_documents(df: DataFrame) -> DataFrame:
+    """Reconstruct each conversation as one document: turn texts joined
+    in (turn_idx) order — the bridge from the transcript side to the
+    document-curation side (T1-T20 run unchanged on the result).
+
+    Ordering discipline: collect_list guarantees nothing, so the struct
+    is sorted explicitly before projection (the tool_sequences /
+    account_signer.go:53 pattern). One shuffle on conv_id; the join
+    separator is a newline, which the transcript text contract
+    (single-line pipe-delimited fields) can never contain."""
+    body = F.concat_ws(
+        "\n",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+            lambda s: s["text"],
+        ),
+    )
+    return df.groupBy("conv_id").agg(
+        body.alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+CONV_DOCUMENTS_ORACLE_SQL = """
+    SELECT conv_id,
+           string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+           CAST(COUNT(*) AS BIGINT) AS n_turns,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM transcripts GROUP BY conv_id
+"""
+
+
+def conv_doc_dedup(df: DataFrame) -> DataFrame:
+    """Exact dedup over the reconstructed conversation documents:
+    transcript -> conv_documents -> identity fingerprint -> per-group
+    canonical (min conv_id). The end-to-end composition a training
+    pipeline runs to drop conversations whose full text repeats."""
+    from stellar_etl_spark.functions.dedup import exact_fingerprint
+
+    docs = conv_documents(df).select(
+        "conv_id", exact_fingerprint().alias("fp64")
+    )
+    w = Window.partitionBy("fp64")
+    return docs.select(
+        "conv_id",
+        "fp64",
+        F.min("conv_id").over(w).alias("keep_conv_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_copies"),
+    )
+
+
+def conv_doc_dedup_oracle_sql() -> str:
+    from stellar_etl_spark.functions import hashing as H
+    from stellar_etl_spark.functions.dedup import _norm_expr
+
+    fp = H.char_hash_wide(_norm_expr(False), spark=False)
+    return (
+        """
+    , convdocs AS (
+      SELECT conv_id, string_agg(text, chr(10) ORDER BY turn_idx) AS text
+      FROM transcripts GROUP BY conv_id
+    ), fps AS (SELECT conv_id, """
+        + fp
+        + """ AS fp64 FROM convdocs)
+    SELECT conv_id, fp64,
+           MIN(conv_id) OVER (PARTITION BY fp64) AS keep_conv_id,
+           COUNT(*) OVER (PARTITION BY fp64) AS n_copies
+    FROM fps
+"""
+    )
