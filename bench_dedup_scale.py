@@ -56,6 +56,9 @@ QUERIES = (
     "dedup_embedding",
     "ann_topk_brute",
     "ann_topk_lsh",
+    "ann_topk_ivf",
+    "doc_top_terms",
+    "doc_repetition",
 )
 
 

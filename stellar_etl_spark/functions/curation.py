@@ -243,10 +243,24 @@ def doc_repetition(docs: DataFrame) -> DataFrame:
     keyed by (doc_id, shingle) then doc_id — both combine map-side, so
     the shuffle carries per-doc-per-distinct-shingle partials, not raw
     occurrences."""
+    # staged columns + checkpoint before the explode — the same two
+    # Catalyst traps dedup._hashes_df documents bite here too: inlined
+    # trees re-evaluate the token split per shingle element, and
+    # InferFiltersFromGenerate pushes a size()>0 filter below the
+    # explode that re-runs the whole hash pipeline in interpreted mode
+    # (measured: 88 s -> ~3 s at sf0.1 for this operator)
     tok = H.tokens("text", spark=True)
-    wh = f"transform({tok}, t -> {H.char_hash('t', True)})"
-    sh = H.shingle_hashes_from_words(wh, 3, spark=True)
-    ex = docs.select("doc_id", F.explode(F.expr(sh)).alias("h"))
+    staged = (
+        docs.select("doc_id", F.expr(tok).alias("toks"))
+        .filter(F.size("toks") >= 3)
+        .select("doc_id", F.expr(H.hash_array("toks", spark=True)).alias("wh"))
+        .select(
+            "doc_id",
+            F.expr(H.shingle_hashes_from_words("wh", 3, spark=True)).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ex = staged.select("doc_id", F.explode("sh").alias("h"))
     per_sh = ex.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
     agg = per_sh.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_shingles"),

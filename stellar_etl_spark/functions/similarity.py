@@ -35,12 +35,15 @@ TOP_K_BRUTE = 10
 TOP_K_LSH = 5
 ANN_TABLES = 4
 # IVF coarse quantizer: centroids = corpus rows with
-# vec_id % IVF_CENT_MOD == IVF_CENT_RESIDUE (~N/31 lists, i.e. the
-# list count grows with the corpus — the sqrt(N)-ish sizing rule);
-# queries probe their IVF_NPROBE nearest lists.
+# vec_id % mod == IVF_CENT_RESIDUE % mod, where mod = floor(sqrt(N))
+# (data-adaptive: C ~ sqrt(N) lists, so assignment work is N*sqrt(N)
+# dots and per-query probe work is nprobe*sqrt(N) — the classic IVF
+# sizing; a corpus-linear C would make assignment quadratic). sqrt is
+# IEEE-correctly-rounded in both engines, so the Spark-side Python
+# floor(sqrt(count)) and the oracle's FLOOR(SQRT(COUNT(*))) agree
+# exactly. Queries probe their IVF_NPROBE nearest lists.
 TOP_K_IVF = 5
-IVF_NPROBE = 2
-IVF_CENT_MOD = 31
+IVF_NPROBE = 4
 IVF_CENT_RESIDUE = 7
 
 
@@ -175,17 +178,21 @@ def ann_ivf(
     is identical per iteration and the oracle stays exact because
     seeding is data-deterministic, not RNG).
 
-    Scale shape (100 TB): the centroid table is ~N/IVF_CENT_MOD rows
-    and broadcast; assignment is a broadcast nested-loop over C
-    centroids + ONE hash aggregation on vec_id via min_by (map-side
-    combine, no window sort over the corpus); the candidate join
-    shuffles on the centroid-list id only — per-query work is
+    Scale shape (100 TB): the centroid table is ~sqrt(N) rows and
+    broadcast; assignment is a broadcast nested-loop over C centroids
+    + ONE hash aggregation on vec_id via min_by (map-side combine, no
+    window sort over the corpus) — N*sqrt(N) dots total; the candidate
+    join shuffles on the centroid-list id only — per-query work is
     nprobe/C of the corpus instead of all of it (the brute baseline).
-    recall knob = nprobe, memory knob = C ~ sqrt(N)."""
+    recall knob = nprobe, memory knob = C ~ sqrt(N). The count() for
+    the adaptive modulus is a 1-row scalar, not a corpus collect."""
+    import math
+
+    mod = max(1, math.floor(math.sqrt(emb.count())))
     withn = emb.withColumn("nrm", F.expr(H.norm_fold("emb", spark=True)))
     cents = F.broadcast(
         withn.filter(
-            F.col("vec_id") % IVF_CENT_MOD == IVF_CENT_RESIDUE
+            F.col("vec_id") % mod == IVF_CENT_RESIDUE % mod
         ).select(
             F.col("vec_id").alias("cent_id"),
             F.col("emb").alias("cemb"),
@@ -251,8 +258,9 @@ def ann_ivf_oracle(
     nf = H.norm_fold("emb", spark=False)
     return f"""WITH {emb_cte},
 nrms AS (SELECT vec_id, emb, {nf} AS nrm FROM emb),
-cents AS (SELECT vec_id AS cent_id, emb, nrm FROM nrms
-          WHERE vec_id % {IVF_CENT_MOD} = {IVF_CENT_RESIDUE}),
+m AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS md FROM emb),
+cents AS (SELECT vec_id AS cent_id, emb, nrm FROM nrms, m
+          WHERE vec_id % m.md = {IVF_CENT_RESIDUE} % m.md),
 scored_cents AS (
   SELECT v.vec_id, c.cent_id,
          {dotc} / (sqrt(v.nrm) * sqrt(c.nrm)) AS ccos
