@@ -92,16 +92,126 @@ class EpochCommitSink:
         os.rename(tmp, self._manifest_path(epoch_id))
         return True
 
+    # -- compaction (rewrite_data_files analog) ------------------------------
+
+    def _snapshot_dir(self) -> str:
+        return os.path.join(self.root, "_snapshots")
+
+    def latest_snapshot(self) -> dict | None:
+        """The newest compaction snapshot manifest, or None."""
+        d = self._snapshot_dir()
+        if not os.path.isdir(d):
+            return None
+        names = sorted(f for f in os.listdir(d) if f.endswith(".json"))
+        if not names:
+            return None
+        with open(os.path.join(d, names[-1])) as f:
+            return json.load(f)
+
+    def compact(
+        self, spark: SparkSession, upto: int | None = None, target_files: int = 1
+    ) -> dict | None:
+        """Rewrite the small per-epoch files of every table into one
+        compacted dataset per table — the Iceberg rewrite_data_files
+        analog a commit-per-epoch streaming sink needs operationally
+        (a year of 5-minute epochs is ~10^5 directories per table).
+
+        Protocol: compacted data (rows unchanged, epoch_id column
+        preserved so update-mode folds keep working) lands under
+        snapdata/<table>/upto=<E>; the COMMIT POINT is the atomic
+        rename of _snapshots/<E>.json. `read_table` then resolves to
+        snapshot + epochs newer than it, so a reader sees either the
+        pre- or the post-compaction layout, never a mix. Old epoch
+        data dirs become garbage collectable via `vacuum()`; the epoch
+        manifests in _commits/ are kept — they are metadata-sized and
+        carry the lineage history. Crash-safe at every step: an
+        unrenamed snapshot manifest is invisible, a crash after rename
+        leaves vacuum pending (re-runnable). Returns the snapshot
+        manifest, or None when there is nothing to compact."""
+        prev = self.latest_snapshot()
+        floor_e = prev["upto"] if prev else -1
+        epochs = [e for e in self.committed_epochs() if e > floor_e]
+        if upto is not None:
+            epochs = [e for e in epochs if e <= upto]
+        if len(epochs) < 2 and prev is None:
+            return None
+        hi = max(epochs) if epochs else floor_e
+        snap: dict = {"upto": hi, "tables": {}, "compacted_epochs": epochs,
+                      "committed_at": time.time()}
+        tables = set()
+        for e in epochs:
+            with open(self._manifest_path(e)) as f:
+                tables.update(json.load(f)["tables"].keys())
+        if prev:
+            tables.update(prev["tables"].keys())
+        for name in sorted(tables):
+            parts = [
+                os.path.join(self.root, "data", name, f"epoch={e}")
+                for e in epochs
+                if os.path.exists(os.path.join(self.root, "data", name, f"epoch={e}"))
+            ]
+            if prev and name in prev["tables"]:
+                parts.append(prev["tables"][name]["path"])
+            if not parts:
+                continue
+            dst = os.path.join(self.root, "snapdata", name, f"upto={hi}")
+            (
+                spark.read.parquet(*parts)
+                .coalesce(max(1, target_files))
+                .write.mode("overwrite")
+                .parquet(dst)
+            )
+            snap["tables"][name] = {"path": dst}
+        os.makedirs(self._snapshot_dir(), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self._snapshot_dir(), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f)
+        os.rename(tmp, os.path.join(self._snapshot_dir(), f"{hi:020d}.json"))
+        return snap
+
+    def vacuum(self) -> int:
+        """Delete per-epoch data dirs (and superseded snapshot data)
+        covered by the latest snapshot. Idempotent; safe after a crash
+        mid-compaction (only runs against a committed snapshot)."""
+        import shutil
+
+        snap = self.latest_snapshot()
+        if not snap:
+            return 0
+        removed = 0
+        data = os.path.join(self.root, "data")
+        for name in os.listdir(data) if os.path.isdir(data) else []:
+            tdir = os.path.join(data, name)
+            for d in os.listdir(tdir):
+                if d.startswith("epoch=") and int(d.split("=")[1]) <= snap["upto"]:
+                    shutil.rmtree(os.path.join(tdir, d))
+                    removed += 1
+        snapdata = os.path.join(self.root, "snapdata")
+        for name in os.listdir(snapdata) if os.path.isdir(snapdata) else []:
+            tdir = os.path.join(snapdata, name)
+            for d in os.listdir(tdir):
+                if d.startswith("upto=") and int(d.split("=")[1]) < snap["upto"]:
+                    shutil.rmtree(os.path.join(tdir, d))
+                    removed += 1
+        return removed
+
     # -- read path ----------------------------------------------------------
 
     def read_table(self, spark: SparkSession, name: str) -> DataFrame:
-        """Read only committed epochs of one table (snapshot-isolation
-        read: uncommitted epoch directories are invisible)."""
+        """Read only committed data of one table (snapshot-isolation
+        read: uncommitted epoch directories are invisible). Resolves to
+        the latest compaction snapshot plus every committed epoch newer
+        than it."""
+        snap = self.latest_snapshot()
+        floor_e = snap["upto"] if snap else -1
         paths = [
             os.path.join(self.root, "data", name, f"epoch={e}")
             for e in self.committed_epochs()
-            if os.path.exists(os.path.join(self.root, "data", name, f"epoch={e}"))
+            if e > floor_e
+            and os.path.exists(os.path.join(self.root, "data", name, f"epoch={e}"))
         ]
+        if snap and name in snap["tables"]:
+            paths.append(snap["tables"][name]["path"])
         if not paths:
             raise FileNotFoundError(f"no committed epochs for table {name}")
         return spark.read.parquet(*paths)

@@ -380,3 +380,66 @@ def test_dedup_stream_kill_resume_equals_batch(spark, tmp_path):
     exp = exact_dedup(load_corpus(spark, sf_dir))
     cols = ["doc_id", "fp64", "keep_doc_id", "n_copies"]
     assert _rows(got, cols) == _rows(exp, cols)
+
+
+def test_sink_compact_preserves_content_and_vacuums(spark, tmp_path):
+    """Compaction (rewrite_data_files analog): read_table content is
+    identical before/after compact() and after vacuum(); epochs
+    committed after the snapshot stack on top; a second incremental
+    compaction folds snapshot + new epochs."""
+    sink = EpochCommitSink(str(tmp_path / "s"))
+    for e in range(4):
+        sink.write_epoch(e, {"t": spark.range(e * 10, e * 10 + 10).toDF("x")})
+    before = sorted(r.x for r in sink.read_table(spark, "t").collect())
+    assert len(before) == 40
+
+    snap = sink.compact(spark)
+    assert snap and snap["upto"] == 3 and "t" in snap["tables"]
+    assert sorted(r.x for r in sink.read_table(spark, "t").collect()) == before
+
+    removed = sink.vacuum()
+    assert removed == 4  # all four epoch dirs covered by the snapshot
+    assert sorted(r.x for r in sink.read_table(spark, "t").collect()) == before
+    import os
+    assert len(
+        [f for f in os.listdir(str(tmp_path / "s" / "data" / "t"))]
+    ) == 0  # small files gone
+
+    # epoch manifests (lineage history) survive; idempotent replay of a
+    # compacted epoch is still a no-op
+    assert sink.committed_epochs() == [0, 1, 2, 3]
+    assert sink.write_epoch(2, {"t": spark.range(999).toDF("x")}) is False
+
+    # new epochs after the snapshot are visible...
+    sink.write_epoch(4, {"t": spark.range(40, 50).toDF("x")})
+    now = sorted(r.x for r in sink.read_table(spark, "t").collect())
+    assert now == sorted(before + list(range(40, 50)))
+
+    # ...and a second, incremental compaction folds snapshot + epoch 4
+    snap2 = sink.compact(spark)
+    assert snap2 and snap2["upto"] == 4 and snap2["compacted_epochs"] == [4]
+    sink.vacuum()
+    assert sorted(r.x for r in sink.read_table(spark, "t").collect()) == now
+
+
+def test_snapshot_fold_survives_compaction(spark, data_dir, tmp_path):
+    """The update-mode snapshot stream's fold (latest epoch_id per key)
+    must be unchanged by compaction — rows keep their epoch_id column,
+    only the file layout changes."""
+    from stellar_etl_spark.streaming.snapshot import (
+        read_final_snapshot,
+        start_snapshot_stream,
+    )
+
+    stream = read_transcript_stream(spark, data_dir, max_files_per_trigger=2)
+    q = start_snapshot_stream(
+        stream, str(tmp_path / "sink"), str(tmp_path / "ckpt"),
+        available_now=True, query_name="compact_snap",
+    )
+    q.awaitTermination()
+    before = _rows(read_final_snapshot(spark, str(tmp_path / "sink")))
+    sink = EpochCommitSink(str(tmp_path / "sink"))
+    assert sink.compact(spark) is not None
+    assert sink.vacuum() > 0
+    after = _rows(read_final_snapshot(spark, str(tmp_path / "sink")))
+    assert after == before
