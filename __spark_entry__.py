@@ -26,6 +26,7 @@ from stellar_etl_spark.functions import dedup as fdedup
 from stellar_etl_spark.functions import multimodal as fmm
 from stellar_etl_spark.functions import similarity as fsim
 from stellar_etl_spark.functions import text as ftext
+from stellar_etl_spark.functions import trainprep as ftp
 from stellar_etl_spark.operators import (
     dims,
     exchange,
@@ -229,6 +230,22 @@ def _q_conv_doc_dedup(spark, sf):
     return journeys.conv_doc_dedup(_T(spark, sf))
 
 
+def _q_decontaminate(spark, sf):
+    return ftp.decontaminate(_C(spark, sf))
+
+
+def _q_pack_sequences(spark, sf):
+    return ftp.pack_sequences(_C(spark, sf))
+
+
+def _q_boilerplate_spans(spark, sf):
+    return ftp.boilerplate_spans(_C(spark, sf))
+
+
+def _q_lang_centroids(spark, sf):
+    return ftp.lang_centroids(fcorpus.load_embeddings(spark, sf))
+
+
 def _q_multimodal_meta(spark, sf):
     return fmm.decode_metadata(_C(spark, sf), decoder=CFG.multimodal_decoder)
 
@@ -393,6 +410,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_transitions": _q_tool_transitions,
         "conv_documents": _q_conv_documents,
         "conv_doc_dedup": _q_conv_doc_dedup,
+        "decontaminate": _q_decontaminate,
+        "pack_sequences": _q_pack_sequences,
+        "boilerplate_spans": _q_boilerplate_spans,
+        "lang_centroids": _q_lang_centroids,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
     }
@@ -489,6 +510,10 @@ def oracle_sql() -> dict[str, str]:
         "tool_transitions": _W + journeys.TRANSITIONS_ORACLE_SQL,
         "conv_documents": _W + journeys.CONV_DOCUMENTS_ORACLE_SQL,
         "conv_doc_dedup": _W + journeys.conv_doc_dedup_oracle_sql(),
+        "decontaminate": ftp.decontaminate_oracle(fcorpus.CORPUS_CTE),
+        "pack_sequences": ftp.pack_sequences_oracle(fcorpus.CORPUS_CTE),
+        "boilerplate_spans": ftp.boilerplate_spans_oracle(fcorpus.CORPUS_CTE),
+        "lang_centroids": ftp.lang_centroids_oracle(fcorpus.EMB_CTE),
         "multimodal_meta": fmm.decode_metadata_oracle(fcorpus.CORPUS_CTE),
         "multimodal_frames": fmm.frame_sample_oracle(fcorpus.CORPUS_CTE),
     }

@@ -1,0 +1,312 @@
+"""Training-set preparation operators: benchmark decontamination,
+token-budget sequence packing, cross-document boilerplate-span
+removal, and exact per-label embedding centroids.
+
+These extend the curation family (functions/curation.py) with the
+remaining steps a pre-training data pipeline runs between "deduped
+corpus" and "training batches". Reference analog: the reference stops
+at per-table export (/root/reference/internal/transform/), so these
+have no Go counterpart — they follow the same engine rules instead
+(portable arithmetic hashing for exact DuckDB oracles, narrow
+map-side-combinable plans, no driver collects on corpus-sized data).
+
+Scale notes (100 TB):
+* ``decontaminate``: the eval/benchmark side is tiny by definition
+  (benchmark suites are MBs, the corpus is TBs) — its distinct n-gram
+  set is broadcast, so the corpus side never shuffles for the join;
+  the only corpus shuffle is the per-doc hit aggregation, which
+  combines map-side. The shingle signature table is the SAME
+  checkpointed table the dedup family builds (dedup._hashes_df), so a
+  pipeline running dedup + decontamination hashes the corpus once.
+* ``pack_sequences``: packing needs a sequential scan per bucket; the
+  bucket key (doc_id % N_BUCKETS) distributes that scan — each bucket
+  is an independent windowed cumulative sum, so parallelism = bucket
+  count and no global sort exists. At 100 TB raise N_BUCKETS to
+  O(executors); the within-bucket order stays deterministic (doc_id).
+* ``boilerplate_spans``: the boilerplate dictionary (spans with
+  df >= BP_DF) is the high-df tail of the span distribution — small by
+  construction (a span repeated across many docs appears once in the
+  dictionary), so it broadcasts; the corpus side is explode + one
+  keyed aggregation.
+* ``lang_centroids``: embeddings are quantized to integer micro-units
+  before summing, so the partial aggregation is exact integer math —
+  order-independent, map-side combinable, and bit-identical to the
+  oracle regardless of partitioning (a double sum would be
+  order-dependent and flake under AQE re-partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import hashing as H
+from .dedup import _hashes_df, _hashes_expr
+
+# Every 17th doc plays the held-out benchmark; the rest are the corpus.
+EVAL_MOD = 17
+# A doc is flagged when at least half its shingles appear in the eval set.
+CONTAM_T = 0.5
+
+PACK_BUDGET = 512  # tokens per training sequence
+N_BUCKETS = 16     # independent packing streams (O(executors) at scale)
+
+SPAN_WORDS = 5  # pseudo-sentence width for boilerplate detection
+BP_DF = 2       # spans seen in >= BP_DF distinct docs are boilerplate
+
+EMB_SCALE = 1_000_000  # micro-unit quantization for exact centroid sums
+
+
+# --- benchmark decontamination ----------------------------------------------
+
+def decontaminate(corpus: DataFrame) -> DataFrame:
+    """Flag corpus documents that share word-3-gram shingles with a
+    held-out eval set (doc_id % EVAL_MOD == 0): per doc, the distinct
+    shingle count, the number of those shingles that occur anywhere in
+    the eval set, the overlap fraction, and the contaminated flag
+    (overlap >= CONTAM_T).
+
+    The industry-standard n-gram decontamination step (eval-set overlap
+    removal before training). Engine shape: eval distinct shingles are
+    broadcast; the corpus side reuses the dedup signature table."""
+    hs = _hashes_df(corpus)
+    ev = (
+        hs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("hs").alias("g"))
+        .distinct()
+    )
+    body = hs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = (
+        body.select("doc_id", F.explode("hs").alias("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        body.select("doc_id", F.size("hs").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_grams"), 6
+            ).alias("overlap_frac"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_grams")
+                >= CONTAM_T
+            ).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle(corpus_cte: str) -> str:
+    hs = _hashes_expr(False)
+    return f"""WITH {corpus_cte},
+hsets AS (SELECT doc_id, {hs} AS hs FROM corpus WHERE len({H.tokens('text', False)}) >= 3),
+ev AS (SELECT DISTINCT unnest(hs) AS g FROM hsets WHERE doc_id % {EVAL_MOD} = 0),
+body AS (SELECT * FROM hsets WHERE doc_id % {EVAL_MOD} != 0),
+cg AS (SELECT doc_id, unnest(hs) AS g FROM body),
+hits AS (
+  SELECT cg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM cg JOIN ev USING (g) GROUP BY cg.doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.hs) AS BIGINT) AS n_grams,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(b.hs), 6) AS overlap_frac,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(b.hs) >= {CONTAM_T}
+         AS contaminated
+FROM body b LEFT JOIN hits h ON h.doc_id = b.doc_id
+"""
+
+
+# --- token-budget sequence packing -------------------------------------------
+
+def pack_sequences(corpus: DataFrame) -> DataFrame:
+    """Assign each document a training-sequence pack: docs are streamed
+    in deterministic (doc_id) order within N_BUCKETS independent
+    buckets; a doc whose tokens start at cumulative offset `o` lands in
+    pack floor(o / PACK_BUDGET) of its bucket (offset chunking — a doc
+    may straddle a pack boundary, the standard concat-then-chunk
+    pre-training layout rather than first-fit bin packing, which is
+    inherently sequential and not window-expressible)."""
+    tok = H.tokens("text", spark=True)
+    w = (
+        Window.partitionBy("bucket_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        corpus.select(
+            "doc_id",
+            (F.col("doc_id") % N_BUCKETS).cast("long").alias("bucket_id"),
+            F.size(F.expr(tok)).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "start_off", (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+        )
+        .withColumn(
+            "pack_id", F.floor(F.col("start_off") / PACK_BUDGET).cast("long")
+        )
+    )
+
+
+def pack_sequences_oracle(corpus_cte: str) -> str:
+    tok = H.tokens("text", spark=False)
+    return f"""WITH {corpus_cte},
+toks AS (
+  SELECT doc_id, doc_id % {N_BUCKETS} AS bucket_id,
+         CAST(len({tok}) AS BIGINT) AS n_tokens
+  FROM corpus
+),
+offs AS (
+  SELECT doc_id, bucket_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY bucket_id ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start_off
+  FROM toks
+)
+SELECT doc_id, bucket_id, n_tokens, start_off,
+       CAST(FLOOR(start_off / {PACK_BUDGET}) AS BIGINT) AS pack_id
+FROM offs
+"""
+
+
+# --- cross-document boilerplate-span removal ---------------------------------
+
+def boilerplate_spans(corpus: DataFrame) -> DataFrame:
+    """Per-document boilerplate accounting over SPAN_WORDS-word
+    pseudo-sentences: a span whose hash occurs in >= BP_DF distinct
+    documents is boilerplate (the CCNet repeated-paragraph rule, with
+    fixed-width spans standing in for paragraphs — the synthetic corpus
+    is single-line). Emits span counts, the boilerplate ratio, and the
+    cleaned text (non-boilerplate spans rejoined in order)."""
+    tok = H.tokens("text", spark=True)
+    spans_expr = (
+        f"transform(sequence(0, cast(ceil(size(toks) / {SPAN_WORDS}.0) as int) - 1), "
+        f"i -> concat_ws(' ', slice(toks, i * {SPAN_WORDS} + 1, {SPAN_WORDS})))"
+    )
+    staged = (
+        corpus.select("doc_id", F.expr(tok).alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select("doc_id", F.expr(spans_expr).alias("spans"))
+        .select(
+            "doc_id",
+            F.expr(f"transform(spans, s -> {H.char_hash('s', True)})").alias("shs"),
+            "spans",
+        )
+        # same two Catalyst traps as dedup._hashes_df: explode consumers
+        # re-derive the span pipeline under InferFiltersFromGenerate
+        .localCheckpoint(eager=True)
+    )
+    ex = staged.select(
+        "doc_id", F.posexplode(F.arrays_zip("shs", "spans")).alias("pos", "z")
+    ).select("doc_id", "pos", F.col("z.shs").alias("h"), F.col("z.spans").alias("span"))
+    bp = (
+        ex.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BP_DF)
+        .select("h")
+    )
+    flagged = ex.join(F.broadcast(bp.withColumn("is_bp", F.lit(True))), "h", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).cast("long").alias("n_bp"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("is_bp").isNull(), F.struct("pos", "span")
+                            )
+                        )
+                    ),
+                    lambda s: s["span"],
+                ),
+            ).alias("cleaned_text"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_bp",
+            F.round(F.col("n_bp").cast("double") / F.col("n_spans"), 6).alias(
+                "bp_ratio"
+            ),
+            "cleaned_text",
+        )
+    )
+
+
+def boilerplate_spans_oracle(corpus_cte: str) -> str:
+    tok = H.tokens("text", spark=False)
+    span_h = H.char_hash("span", False)
+    return f"""WITH {corpus_cte},
+toks AS (SELECT doc_id, {tok} AS toks FROM corpus WHERE len({tok}) >= 1),
+ex AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[(i - 1) * {SPAN_WORDS} + 1 : i * {SPAN_WORDS}], ' ')
+           AS span
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1,
+           CAST(CEIL(len(toks) / {SPAN_WORDS}.0) AS BIGINT))) AS i)
+),
+hashed AS (SELECT doc_id, pos, span, {span_h} AS h FROM ex),
+bp AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) >= {BP_DF})
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM bp)) AS BIGINT) AS n_bp,
+       ROUND(CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM bp)) AS DOUBLE)
+             / COUNT(*), 6) AS bp_ratio,
+       COALESCE(string_agg(span, ' ' ORDER BY pos)
+                FILTER (WHERE h NOT IN (SELECT h FROM bp)), '') AS cleaned_text
+FROM hashed GROUP BY doc_id
+"""
+
+
+# --- exact per-label embedding centroids -------------------------------------
+
+def lang_centroids(emb: DataFrame) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension):
+    vectors are quantized to integer micro-units (round(v * 1e6)), so
+    the sum is exact integer arithmetic (partitioning-independent) and
+    the centroid double is one final division — bit-identical across
+    engines. The domain-mixing / cluster-prototype primitive."""
+    q = F.expr(
+        f"transform(emb, v -> cast(round(v * {EMB_SCALE}) as bigint))"
+    )
+    ex = emb.select("label", F.posexplode(q).alias("pos", "qv"))
+    return (
+        ex.groupBy("label", (F.col("pos") + 1).cast("long").alias("dim_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("qv").cast("long").alias("sum_micro"),
+        )
+        .select(
+            "label",
+            "dim_idx",
+            "n_vecs",
+            "sum_micro",
+            (F.col("sum_micro").cast("double") / F.col("n_vecs") / EMB_SCALE).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def lang_centroids_oracle(emb_cte: str) -> str:
+    return f"""WITH {emb_cte},
+ex AS (
+  SELECT label, i AS dim_idx,
+         CAST(ROUND(emb[CAST(i AS INT)] * {EMB_SCALE}) AS BIGINT) AS qv
+  FROM emb, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i)
+)
+SELECT label, CAST(dim_idx AS BIGINT) AS dim_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(qv) AS BIGINT) AS sum_micro,
+       CAST(SUM(qv) AS DOUBLE) / COUNT(*) / {EMB_SCALE} AS centroid
+FROM ex GROUP BY label, dim_idx
+"""
