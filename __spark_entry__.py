@@ -182,6 +182,10 @@ def _q_dedup_embedding(spark, sf):
     return fdedup.embedding_dup_pairs(fdedup.load_emb_corpus(spark, sf))
 
 
+def _q_dup_clusters(spark, sf):
+    return fdedup.dup_clusters(_C(spark, sf))
+
+
 def _q_ann_brute(spark, sf):
     return fsim.ann_bruteforce(fcorpus.load_embeddings(spark, sf))
 
@@ -398,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
+        "dup_clusters": _q_dup_clusters,
         "ann_topk_brute": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
@@ -498,6 +503,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": fdedup.simhash_oracle(fcorpus.CORPUS_CTE),
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
         "dedup_embedding": fdedup.embedding_dup_oracle(),
+        "dup_clusters": fdedup.dup_clusters_oracle(fcorpus.CORPUS_CTE),
         "ann_topk_brute": fsim.ann_bruteforce_oracle(fcorpus.EMB_CTE),
         "ann_topk_lsh": fsim.ann_lsh_oracle(fcorpus.EMB_CTE),
         "ann_topk_ivf": fsim.ann_ivf_oracle(fcorpus.EMB_CTE),

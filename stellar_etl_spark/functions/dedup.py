@@ -199,7 +199,11 @@ def minhash_lsh_dedup(corpus: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_oracle(corpus_cte: str) -> str:
+def _minhash_pair_ctes(corpus_cte: str) -> str:
+    """The shared DuckDB CTE chain from `corpus` through `verified`
+    (doc_a, doc_b, jaccard) — reused by `minhash_lsh_oracle` and
+    `dup_clusters_oracle` so both compare against the identical
+    candidate/verify pipeline."""
     hs = _hashes_expr(False)
     sig = "[" + ", ".join(H.minhash_sig("hs", i, spark=False) for i in range(H.MINHASH_K)) + "]"
     band_keys = " UNION ALL ".join(
@@ -211,9 +215,9 @@ def minhash_lsh_oracle(corpus_cte: str) -> str:
         + " AS band_key FROM sigs"
         for j in range(H.MINHASH_BANDS)
     )
-    return f"""WITH {corpus_cte},
+    return f"""{corpus_cte},
 hsets AS (SELECT doc_id, {hs} AS hs FROM corpus),
-hnon AS (SELECT * FROM hsets WHERE len(hs) > 0),
+hnon AS MATERIALIZED (SELECT * FROM hsets WHERE len(hs) > 0),
 sigs AS (SELECT doc_id, hs, {sig} AS sig FROM hnon),
 bands AS ({band_keys}),
 bkeep AS (
@@ -237,7 +241,11 @@ verified AS (
   FROM pairs p
   JOIN hnon ha ON ha.doc_id = p.doc_a
   JOIN hnon hb ON hb.doc_id = p.doc_b
-)
+)"""
+
+
+def minhash_lsh_oracle(corpus_cte: str) -> str:
+    return f"""WITH {_minhash_pair_ctes(corpus_cte)}
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {MINHASH_JACCARD_T}
 """
 
@@ -606,4 +614,81 @@ FROM cand c
 JOIN wb a ON a.vec_id = c.vec_a
 JOIN wb b ON b.vec_id = c.vec_b
 WHERE {dot} / (sqrt(a.nrm) * sqrt(b.nrm)) >= {COSINE_DUP_T}
+"""
+
+
+# --- 6. duplicate clusters (pairs -> transitive closure) --------------------
+
+def dup_clusters(corpus: DataFrame) -> DataFrame:
+    """Transitive duplicate clusters over the union of exact-dedup
+    groups and verified MinHash near-dup pairs: every corpus doc
+    labeled with its cluster's canonical (minimum) doc_id, the
+    cluster size, and a 0/1 keep flag (keep exactly the canonical
+    doc per cluster). This is the operation that makes pairwise
+    dedup *usable* — a~b and b~c collapse to one kept doc even when
+    the a~c pair was never generated.
+
+    Reference analog: the first-seen fold of cmd/export_assets.go:40-58,
+    distributed as a hash-min label-propagation fixpoint
+    (functions/graph.connected_components).
+
+    Scale notes: the edge list is pairs-only (orders of magnitude
+    smaller than the corpus); exact groups contribute star edges
+    (member -> group min), already diameter-2. The CC fixpoint runs
+    2-3 rounds of two bounded shuffles each; the final labeling joins
+    back to the corpus on doc_id (sort-merge, corpus-partitioned)."""
+    from .graph import connected_components
+
+    mh = minhash_lsh_dedup(corpus).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    ex = (
+        exact_dedup(corpus)
+        .select(F.col("doc_id").alias("src"), F.col("keep_doc_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    reps = connected_components(mh.union(ex)).withColumnRenamed("node", "doc_id")
+    labeled = (
+        corpus.select("doc_id")
+        .join(reps, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("rep", F.col("doc_id")).cast("long").alias("cluster_rep"),
+        )
+    )
+    w = Window.partitionBy("cluster_rep")
+    return labeled.select(
+        "doc_id",
+        "cluster_rep",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_rep")).cast("long").alias("keep"),
+    )
+
+
+def dup_clusters_oracle(corpus_cte: str) -> str:
+    from .graph import cc_reach_oracle_cte
+
+    fp = H.char_hash_wide(_norm_expr(False), spark=False)
+    return f"""WITH RECURSIVE {_minhash_pair_ctes(corpus_cte)},
+fps AS (SELECT doc_id, {fp} AS fp64 FROM corpus),
+exact_edges AS (
+  SELECT doc_id AS src,
+         MIN(doc_id) OVER (PARTITION BY fp64) AS dst
+  FROM fps
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  WHERE jaccard >= {MINHASH_JACCARD_T}
+  UNION
+  SELECT src, dst FROM exact_edges WHERE src <> dst
+),
+{cc_reach_oracle_cte('edges')},
+labeled AS (
+  SELECT c.doc_id, COALESCE(r.rep, c.doc_id) AS cluster_rep
+  FROM corpus c LEFT JOIN cc_reps r ON r.node = c.doc_id
+)
+SELECT doc_id, cluster_rep,
+       COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size,
+       CAST(doc_id = cluster_rep AS BIGINT) AS keep
+FROM labeled
 """

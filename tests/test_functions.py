@@ -294,3 +294,74 @@ def test_tool_transitions_bigram_conservation(spark):
     )
     starts = tr.filter("prev_tool = '__start__'").agg(F.sum("n_transitions"))
     assert starts.collect()[0][0] == n_convs_with_tools
+
+
+def test_connected_components_chain_and_clique(spark):
+    """The CC fixpoint must produce transitive clusters: a chain
+    1-2-3-4-5 collapses to rep 1 even though pair (1,5) never appears;
+    a separate clique keeps its own min; orientation is ignored."""
+    from stellar_etl_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1..5 (mixed orientation), clique {10,11,12}, pair {20,21}
+        [(2, 1), (2, 3), (4, 3), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (21, 20)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["rep"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_path_converges(spark):
+    """Pointer jumping must converge on a 64-node path well inside
+    max_iter (O(log d) rounds, not O(d))."""
+    from stellar_etl_spark.functions.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    out = connected_components(edges, max_iter=10).collect()
+    assert len(out) == 65
+    assert {r["rep"] for r in out} == {0}
+
+
+def test_dup_clusters_transitive_and_partition_invariant(spark):
+    """dup_clusters must be a partition of the corpus (every doc in
+    exactly one cluster, exactly one kept doc per cluster, rep is the
+    cluster min) and invariant to input partitioning."""
+    import pyspark.sql.functions as F
+    from stellar_etl_spark.functions import corpus as fcorpus
+    from stellar_etl_spark.functions.dedup import dup_clusters
+    from conftest import SF_UNIT
+
+    c = fcorpus.load_corpus(spark, SF_UNIT)
+    out = dup_clusters(c).cache()
+    assert out.count() == c.count()
+    per = out.groupBy("cluster_rep").agg(
+        F.sum("keep").alias("kept"),
+        F.min("doc_id").alias("mn"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("cluster_size").alias("sz"),
+    )
+    bad = per.filter(
+        (F.col("kept") != 1) | (F.col("mn") != F.col("cluster_rep"))
+        | (F.col("n") != F.col("sz"))
+    )
+    assert bad.count() == 0
+    # exact copies (doc_id % 10 == 0 -> doc_id + 10000) must share a rep
+    joined = (
+        out.alias("a")
+        .join(
+            out.alias("b"),
+            F.col("a.doc_id") + 10000 == F.col("b.doc_id"),
+        )
+        .filter((F.col("a.doc_id") % 10 == 0) & (F.col("a.doc_id") < 10000))
+        .filter(F.col("a.cluster_rep") != F.col("b.cluster_rep"))
+    )
+    assert joined.count() == 0
+    # partitioning invariance
+    out2 = dup_clusters(c.repartition(17)).collect()
+    assert sorted(map(tuple, out2)) == sorted(map(tuple, out.collect()))
+    out.unpersist()
