@@ -162,6 +162,10 @@ def _q_doc_fingerprint(spark, sf):
     return ftext.fingerprint(_C(spark, sf))
 
 
+def _q_redact_pii(spark, sf):
+    return ftext.redact_pii(_C(spark, sf))
+
+
 def _q_dedup_exact(spark, sf):
     return fdedup.exact_dedup(_C(spark, sf))
 
@@ -248,6 +252,10 @@ def _q_boilerplate_spans(spark, sf):
 
 def _q_lang_centroids(spark, sf):
     return ftp.lang_centroids(fcorpus.load_embeddings(spark, sf))
+
+
+def _q_kmeans_assign(spark, sf):
+    return ftp.kmeans_assign(fcorpus.load_embeddings(spark, sf))
 
 
 def _q_multimodal_meta(spark, sf):
@@ -397,6 +405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": _q_doc_stats,
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
+        "redact_pii": _q_redact_pii,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -419,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "boilerplate_spans": _q_boilerplate_spans,
         "lang_centroids": _q_lang_centroids,
+        "kmeans_assign": _q_kmeans_assign,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
     }
@@ -497,6 +507,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": ftext.doc_stats_oracle(fcorpus.CORPUS_CTE),
         "doc_lang_id": ftext.lang_id_oracle(fcorpus.CORPUS_CTE),
         "doc_fingerprint": ftext.fingerprint_oracle(fcorpus.CORPUS_CTE),
+        "redact_pii": ftext.redact_pii_oracle(fcorpus.CORPUS_CTE),
         "dedup_exact": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
         "dedup_exact_streamed": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
         "dedup_minhash_lsh": fdedup.minhash_lsh_oracle(fcorpus.CORPUS_CTE),
@@ -520,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": ftp.pack_sequences_oracle(fcorpus.CORPUS_CTE),
         "boilerplate_spans": ftp.boilerplate_spans_oracle(fcorpus.CORPUS_CTE),
         "lang_centroids": ftp.lang_centroids_oracle(fcorpus.EMB_CTE),
+        "kmeans_assign": ftp.kmeans_assign_oracle(fcorpus.EMB_CTE),
         "multimodal_meta": fmm.decode_metadata_oracle(fcorpus.CORPUS_CTE),
         "multimodal_frames": fmm.frame_sample_oracle(fcorpus.CORPUS_CTE),
     }

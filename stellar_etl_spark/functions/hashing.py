@@ -214,3 +214,16 @@ def norm_fold(a: str, spark: bool, dim: int = EMB_DIM) -> str:
     return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
             f"list_transform(generate_series(1, {dim}), i -> {a}[i] * {a}[i])), "
             f"(acc, v) -> acc + v)")
+
+
+def sqdist_fold(a: str, b: str, spark: bool, dim: int = EMB_DIM) -> str:
+    """Sequential left-fold squared L2 distance of two ARRAY<DOUBLE>
+    expressions — same fixed fold order in both dialects, so the
+    resulting double is bit-identical (exact oracle comparisons)."""
+    if spark:
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+                f"cast(0 as double), (acc, v) -> acc + v)")
+    return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(generate_series(1, {dim}), "
+            f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+            f"(acc, v) -> acc + v)")

@@ -179,3 +179,90 @@ whs AS (SELECT doc_id, {H.char_hash_wide(norm, spark=False)} AS fp64,
         FROM corpus)
 SELECT doc_id, fp64, list_min({sh}) AS min_shingle_hash FROM whs
 """
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded/unbounded
+# repetition, alternation-free. Replacement order is part of the
+# contract (emails first, then URLs, then long digit runs) and is
+# mirrored verbatim in the oracle.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"https?://[A-Za-z0-9./_%-]+"
+PII_LONGNUM_RE = r"[0-9]{8,}"
+
+
+def _pii_case(spark: bool) -> str:
+    """Deterministic synthetic-PII injection (the raw synthetic corpus
+    contains none, so the operator would be a no-op): doc_id % 4
+    selects an email / URL / long-number suffix or none. Shared
+    verbatim with the oracle, same pattern as corpus.CORPUS_CTE."""
+    did = "CAST(doc_id AS VARCHAR)" if not spark else "cast(doc_id as string)"
+    num = (
+        f"lpad({did}, 9, '0')"  # 9-digit run, always >= 8
+    )
+    return (
+        f"CASE CAST(doc_id % 4 AS INT) "
+        f"WHEN 0 THEN ' contact user' || {did} || '@example.com today' "
+        f"WHEN 1 THEN ' see https://example.org/repo/' || {did} || '/readme' "
+        f"WHEN 2 THEN ' ref id 9' || {num} || ' follows' "
+        f"ELSE '' END"
+    )
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """Scrub PII-shaped spans (emails, URLs, >=8-digit number runs)
+    from document text, reporting per-doc match counts — the standard
+    pre-training scrub pass. Whole-stage-codegen regexes (JVM
+    regexp_replace / regexp_count), zero Python, narrow map.
+
+    Reference analog: the per-row string sanitation in the Transform*
+    projections (internal/transform/transaction.go:20-301 dispositions
+    of memo/text fields) — here a declarative per-row projection.
+
+    Scale notes: no shuffle; regex evaluation is linear in text bytes
+    and runs inside codegen. At 100 TB this is scan-bound; the three
+    fixed patterns compile once per task."""
+    injected = F.concat(F.col("text"), F.expr(_pii_case(spark=True)))
+    t0 = injected
+    n_em = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
+    t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
+    n_url = F.regexp_count(t1, F.lit(PII_URL_RE))
+    t2 = F.regexp_replace(t1, PII_URL_RE, "<URL>")
+    n_num = F.regexp_count(t2, F.lit(PII_LONGNUM_RE))
+    t3 = F.regexp_replace(t2, PII_LONGNUM_RE, "<NUM>")
+    return docs.select(
+        "doc_id",
+        t3.alias("clean_text"),
+        n_em.cast("long").alias("n_emails"),
+        n_url.cast("long").alias("n_urls"),
+        n_num.cast("long").alias("n_longnums"),
+    )
+
+
+def redact_pii_oracle(corpus_cte: str) -> str:
+    case = _pii_case(spark=False)
+    em, url, num = PII_EMAIL_RE, PII_URL_RE, PII_LONGNUM_RE
+    return f"""WITH {corpus_cte},
+pii AS (SELECT doc_id, text || {case} AS t0 FROM corpus),
+s1 AS (
+  SELECT doc_id, t0,
+         regexp_replace(t0, '{em}', '<EMAIL>', 'g') AS t1,
+         len(regexp_extract_all(t0, '{em}')) AS n_emails
+  FROM pii
+),
+s2 AS (
+  SELECT doc_id, t1, n_emails,
+         regexp_replace(t1, '{url}', '<URL>', 'g') AS t2,
+         len(regexp_extract_all(t1, '{url}')) AS n_urls
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_urls,
+         regexp_replace(t2, '{num}', '<NUM>', 'g') AS clean_text,
+         len(regexp_extract_all(t2, '{num}')) AS n_longnums
+  FROM s2
+)
+SELECT doc_id, clean_text, n_emails, n_urls, n_longnums FROM s3
+"""

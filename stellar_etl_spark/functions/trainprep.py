@@ -310,3 +310,74 @@ SELECT label, CAST(dim_idx AS BIGINT) AS dim_idx,
        CAST(SUM(qv) AS DOUBLE) / COUNT(*) / {EMB_SCALE} AS centroid
 FROM ex GROUP BY label, dim_idx
 """
+
+
+# --- k-means assignment step --------------------------------------------------
+
+def kmeans_assign(emb: DataFrame) -> DataFrame:
+    """One Lloyd's-algorithm assignment step: every vector assigned to
+    its nearest centroid (squared L2), seeded from the per-label
+    centroids of `lang_centroids`. Iterating this operator (reassign ->
+    re-average) is distributed k-means; one step is exactly
+    oracle-checkable because every float op is order-pinned:
+    centroids come from integer micro-unit sums (one final division),
+    distances from the fixed-order `hashing.sqdist_fold`, and ties
+    break on MIN(label) under bit-identical doubles.
+
+    Scale notes: K centroids (bounded by label cardinality) broadcast
+    to every executor — the N x K distance evaluation is a narrow map
+    over the vectors (no shuffle); the argmin is a per-vec_id
+    aggregation (one shuffle on vec_id, map-side combined). At 100 TB
+    this is the textbook broadcast-kmeans layout."""
+    cents = lang_centroids(emb)
+    carr = (
+        cents.groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim_idx", "centroid"))
+            ).alias("s")
+        )
+        .select("label", F.expr("transform(s, x -> x.centroid)").alias("cvec"))
+    )
+    d = H.sqdist_fold("emb", "cvec", spark=True)
+    dists = (
+        emb.select("vec_id", "emb")
+        .crossJoin(F.broadcast(carr))
+        .select("vec_id", "label", F.expr(d).alias("dist"))
+    )
+    mind = dists.groupBy("vec_id").agg(F.min("dist").alias("min_dist"))
+    return (
+        dists.join(mind, "vec_id")
+        .filter(F.col("dist") == F.col("min_dist"))
+        .groupBy("vec_id")
+        .agg(F.min("label").alias("cluster"), F.min("dist").alias("d"))
+        .select("vec_id", "cluster", F.round("d", 6).alias("dist"))
+    )
+
+
+def kmeans_assign_oracle(emb_cte: str) -> str:
+    sq = H.sqdist_fold("e.emb", "c.cvec", spark=False)
+    return f"""WITH {emb_cte},
+ex AS (
+  SELECT label, i AS dim_idx,
+         CAST(ROUND(emb[CAST(i AS INT)] * {EMB_SCALE}) AS BIGINT) AS qv
+  FROM emb, LATERAL (SELECT unnest(generate_series(1, len(emb))) AS i)
+),
+cent AS (
+  SELECT label, dim_idx,
+         CAST(SUM(qv) AS DOUBLE) / COUNT(*) / {EMB_SCALE} AS centroid
+  FROM ex GROUP BY label, dim_idx
+),
+carr AS (
+  SELECT label, list(centroid ORDER BY dim_idx) AS cvec
+  FROM cent GROUP BY label
+),
+dists AS (
+  SELECT e.vec_id, c.label, {sq} AS dist
+  FROM emb e CROSS JOIN carr c
+),
+mind AS (SELECT vec_id, MIN(dist) AS min_dist FROM dists GROUP BY vec_id)
+SELECT d.vec_id, MIN(d.label) AS cluster, ROUND(MIN(d.dist), 6) AS dist
+FROM dists d JOIN mind m ON m.vec_id = d.vec_id AND d.dist = m.min_dist
+GROUP BY d.vec_id
+"""
