@@ -25,6 +25,7 @@ from stellar_etl_spark.functions import curation as fcur
 from stellar_etl_spark.functions import dedup as fdedup
 from stellar_etl_spark.functions import multimodal as fmm
 from stellar_etl_spark.functions import similarity as fsim
+from stellar_etl_spark.functions import sketch as fsketch
 from stellar_etl_spark.functions import text as ftext
 from stellar_etl_spark.functions import trainprep as ftp
 from stellar_etl_spark.operators import (
@@ -164,6 +165,10 @@ def _q_doc_fingerprint(spark, sf):
 
 def _q_redact_pii(spark, sf):
     return ftext.redact_pii(_C(spark, sf))
+
+
+def _q_tool_conv_hll(spark, sf):
+    return fsketch.tool_conv_hll(_T(spark, sf))
 
 
 def _q_dedup_exact(spark, sf):
@@ -406,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": _q_doc_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "redact_pii": _q_redact_pii,
+        "tool_conv_hll": _q_tool_conv_hll,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -508,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_id": ftext.lang_id_oracle(fcorpus.CORPUS_CTE),
         "doc_fingerprint": ftext.fingerprint_oracle(fcorpus.CORPUS_CTE),
         "redact_pii": ftext.redact_pii_oracle(fcorpus.CORPUS_CTE),
+        "tool_conv_hll": _W + fsketch.tool_conv_hll_oracle(),
         "dedup_exact": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
         "dedup_exact_streamed": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
         "dedup_minhash_lsh": fdedup.minhash_lsh_oracle(fcorpus.CORPUS_CTE),

@@ -1,0 +1,169 @@
+"""Mergeable cardinality sketches: a deterministic HyperLogLog.
+
+Exact COUNT(DISTINCT) at 100 TB forces a full shuffle of every
+distinct key; the scale answer is a mergeable register sketch whose
+per-partition partials combine with MAX — associative, commutative,
+map-side combinable, so the shuffle carries at most (group, m)
+register rows instead of the key universe. Spark ships
+approx_count_distinct (a native HLL++), but its register layout is
+engine-internal and cannot be value-checked against another engine.
+This HLL is built from the repo's portable hash builders, so the
+whole sketch — registers, estimator, bias corrections — is a
+deterministic function of the input and has an EXACT DuckDB value
+oracle (the same property every other operator here has), while
+keeping the genuine O(m)-state mergeable-sketch shape.
+
+Reference analog: the reference counts distinct entities by folding
+into in-memory seen-maps (/root/reference/cmd/export_assets.go:40-58)
+— exact but unbounded state; this is the bounded-state distributed
+replacement.
+
+Layout: h is the ~60-bit portable identity hash masked to 48 bits
+(close to uniform: the dual-modulus product space ~2^60 covers the
+mask many times over); low HLL_P bits select the register, the
+remaining HLL_B=38 bits w give rho = 39 - bitlen(w) (w=0 -> 39).
+Standard HLL estimator alpha_m * m^2 / sum(2^-M_j) with the
+linear-counting small-range correction; every float op (the
+register fold runs in ascending-bucket order, one division, one ln)
+is order-pinned so both engines produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import hashing as H
+
+HLL_P = 10                     # register-index bits
+HLL_M = 1 << HLL_P             # 1024 registers
+HLL_B = 38                     # rho window bits (48 - HLL_P)
+_MASK48 = (1 << 48) - 1
+# alpha_m * m^2 for m = 1024 (Flajolet et al. 2007), one Python-side
+# constant inlined as the identical literal in both dialects
+HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M
+
+
+def _rho_exprs(key_hash: str, spark: bool) -> tuple[str, str]:
+    """(bucket, rho) SQL expressions from a key-hash expression."""
+    div = "div" if spark else "//"
+    hm = f"(({key_hash}) & {_MASK48})"
+    bucket = f"({hm} % {HLL_M})"
+    w = f"({hm} {div} {HLL_M})"
+    rho = (
+        f"(CASE WHEN {w} = 0 THEN {HLL_B + 1} "
+        f"ELSE {HLL_B + 1} - length(bin({w})) END)"
+    )
+    return bucket, rho
+
+
+def hll_distinct(
+    df: DataFrame, key: str, group: str, out_group: str | None = None
+) -> DataFrame:
+    """Per-`group` HLL cardinality estimate of distinct `key` values,
+    alongside the exact count and relative error (the exact column is
+    the test harness — at 100 TB one would keep only the sketch).
+
+    Plan shape: narrow map to (group, bucket, rho) -> MAX-agg on
+    (group, bucket) [the mergeable-sketch shuffle, map-side combined,
+    <= m rows per group] -> per-group register fold. The exact-count
+    branch is the expensive one and exists only for verification."""
+    gname = out_group or group
+    bucket, rho = _rho_exprs(H.char_hash_wide(key, spark=True), spark=True)
+    regs = (
+        df.select(
+            F.col(group).alias(gname),
+            F.expr(bucket).cast("int").alias("bucket"),
+            F.expr(rho).cast("int").alias("rho"),
+        )
+        .groupBy(gname, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    fold = (
+        "aggregate(transform(arr, x -> power(cast(2 as double), "
+        "-cast(x.rho as double))), cast(0 as double), (acc, v) -> acc + v)"
+    )
+    per = (
+        regs.groupBy(gname)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_registers"),
+            F.sort_array(F.collect_list(F.struct("bucket", "rho"))).alias("arr"),
+        )
+        .select(
+            gname,
+            "n_registers",
+            (
+                (F.lit(HLL_M) - F.col("n_registers")).cast("double")
+                + F.expr(fold)
+            ).alias("s"),
+        )
+    )
+    e_raw = F.lit(HLL_ALPHA_M2) / F.col("s")
+    v = F.lit(HLL_M) - F.col("n_registers")
+    linear = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / v.cast("double")
+    )
+    est = F.when((e_raw <= 2.5 * HLL_M) & (v > 0), linear).otherwise(e_raw)
+    sk = per.select(gname, "n_registers", F.round(est, 6).alias("est_distinct"))
+    exact = df.groupBy(F.col(group).alias(gname)).agg(
+        F.countDistinct(key).cast("long").alias("exact_distinct")
+    )
+    return sk.join(exact, gname).select(
+        gname,
+        "n_registers",
+        "est_distinct",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+def tool_conv_hll(transcripts: DataFrame) -> DataFrame:
+    """Distinct conversations per tool via the HLL sketch (plus exact
+    + rel_err verification columns)."""
+    return hll_distinct(
+        transcripts.filter(F.col("tool").isNotNull()), "conv_id", "tool"
+    )
+
+
+def tool_conv_hll_oracle() -> str:
+    bucket, rho = _rho_exprs(H.char_hash_wide("conv_id", spark=False), spark=False)
+    return f"""
+, base AS (
+  SELECT tool, {bucket} AS bucket, {rho} AS rho
+  FROM transcripts WHERE tool IS NOT NULL
+),
+regs AS (SELECT tool, bucket, MAX(rho) AS rho FROM base GROUP BY tool, bucket),
+per AS (
+  SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_registers,
+         CAST({HLL_M} - COUNT(*) AS DOUBLE)
+         + list_reduce(
+             list_prepend(CAST(0 AS DOUBLE),
+               list_transform(list(rho ORDER BY bucket),
+                              r -> power(CAST(2 AS DOUBLE), -CAST(r AS DOUBLE)))),
+             (acc, v) -> acc + v) AS s
+  FROM regs GROUP BY tool
+),
+est AS (
+  SELECT tool, n_registers,
+         CASE WHEN ({HLL_ALPHA_M2!r} / s) <= 2.5 * {HLL_M}
+                   AND ({HLL_M} - n_registers) > 0
+              THEN CAST({float(HLL_M)!r} AS DOUBLE)
+                   * ln(CAST({float(HLL_M)!r} AS DOUBLE)
+                        / CAST({HLL_M} - n_registers AS DOUBLE))
+              ELSE ({HLL_ALPHA_M2!r} / s) END AS est_raw
+  FROM per
+),
+exact AS (
+  SELECT tool, CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS exact_distinct
+  FROM transcripts WHERE tool IS NOT NULL GROUP BY tool
+)
+SELECT e.tool, e.n_registers, ROUND(e.est_raw, 6) AS est_distinct,
+       x.exact_distinct,
+       ROUND(ABS(ROUND(e.est_raw, 6) - x.exact_distinct)
+             / x.exact_distinct, 6) AS rel_err
+FROM est e JOIN exact x ON x.tool = e.tool
+"""
