@@ -171,6 +171,11 @@ def _q_tool_conv_hll(spark, sf):
     return fsketch.tool_conv_hll(_T(spark, sf))
 
 
+def _q_tool_conv_hll_streamed(spark, sf):
+    from stellar_etl_spark.streaming import parity
+    return parity.streamed_tool_conv_hll(spark, sf)
+
+
 def _q_dedup_exact(spark, sf):
     return fdedup.exact_dedup(_C(spark, sf))
 
@@ -412,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "redact_pii": _q_redact_pii,
         "tool_conv_hll": _q_tool_conv_hll,
+        "tool_conv_hll_streamed": _q_tool_conv_hll_streamed,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -515,6 +521,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ftext.fingerprint_oracle(fcorpus.CORPUS_CTE),
         "redact_pii": ftext.redact_pii_oracle(fcorpus.CORPUS_CTE),
         "tool_conv_hll": _W + fsketch.tool_conv_hll_oracle(),
+        "tool_conv_hll_streamed": _W + fsketch.tool_conv_hll_oracle(),
         "dedup_exact": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
         "dedup_exact_streamed": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
         "dedup_minhash_lsh": fdedup.minhash_lsh_oracle(fcorpus.CORPUS_CTE),

@@ -57,20 +57,16 @@ def _rho_exprs(key_hash: str, spark: bool) -> tuple[str, str]:
     return bucket, rho
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame, key: str, group: str, out_group: str | None = None
 ) -> DataFrame:
-    """Per-`group` HLL cardinality estimate of distinct `key` values,
-    alongside the exact count and relative error (the exact column is
-    the test harness — at 100 TB one would keep only the sketch).
-
-    Plan shape: narrow map to (group, bucket, rho) -> MAX-agg on
-    (group, bucket) [the mergeable-sketch shuffle, map-side combined,
-    <= m rows per group] -> per-group register fold. The exact-count
-    branch is the expensive one and exists only for verification."""
+    """(group, bucket, MAX rho) register table — the mergeable sketch
+    state. Works identically on a batch DataFrame and on a stream
+    (update-mode stateful aggregation: MAX is the merge operator, so
+    per-micro-batch deltas are cumulative and replay-safe)."""
     gname = out_group or group
     bucket, rho = _rho_exprs(H.char_hash_wide(key, spark=True), spark=True)
-    regs = (
+    return (
         df.select(
             F.col(group).alias(gname),
             F.expr(bucket).cast("int").alias("bucket"),
@@ -79,6 +75,12 @@ def hll_distinct(
         .groupBy(gname, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
+
+
+def hll_estimate(regs: DataFrame, gname: str) -> DataFrame:
+    """Fold a register table into per-group estimates: ascending-bucket
+    ordered 2^-rho fold (order-pinned doubles), standard estimator with
+    the linear-counting small-range correction."""
     fold = (
         "aggregate(transform(arr, x -> power(cast(2 as double), "
         "-cast(x.rho as double))), cast(0 as double), (acc, v) -> acc + v)"
@@ -104,7 +106,14 @@ def hll_distinct(
         F.lit(float(HLL_M)) / v.cast("double")
     )
     est = F.when((e_raw <= 2.5 * HLL_M) & (v > 0), linear).otherwise(e_raw)
-    sk = per.select(gname, "n_registers", F.round(est, 6).alias("est_distinct"))
+    return per.select(gname, "n_registers", F.round(est, 6).alias("est_distinct"))
+
+
+def hll_join_exact(
+    sk: DataFrame, df: DataFrame, key: str, group: str, gname: str
+) -> DataFrame:
+    """Attach the exact distinct count + relative error (verification
+    columns — at 100 TB one would keep only the sketch)."""
     exact = df.groupBy(F.col(group).alias(gname)).agg(
         F.countDistinct(key).cast("long").alias("exact_distinct")
     )
@@ -119,6 +128,21 @@ def hll_distinct(
             6,
         ).alias("rel_err"),
     )
+
+
+def hll_distinct(
+    df: DataFrame, key: str, group: str, out_group: str | None = None
+) -> DataFrame:
+    """Per-`group` HLL cardinality estimate of distinct `key` values,
+    alongside the exact count and relative error.
+
+    Plan shape: narrow map to (group, bucket, rho) -> MAX-agg on
+    (group, bucket) [the mergeable-sketch shuffle, map-side combined,
+    <= m rows per group] -> per-group register fold. The exact-count
+    branch is the expensive one and exists only for verification."""
+    gname = out_group or group
+    regs = hll_registers(df, key, group, gname)
+    return hll_join_exact(hll_estimate(regs, gname), df, key, group, gname)
 
 
 def tool_conv_hll(transcripts: DataFrame) -> DataFrame:

@@ -438,3 +438,68 @@ def streamed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return read_final_snapshot(spark, os.path.join(work, "sink"))
+
+
+# --- streamed HLL sketch -----------------------------------------------------
+
+HLL_TABLE = "hll_regs"
+
+
+def streamed_tool_conv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL distinct-conversations sketch (functions/sketch.py) as a
+    REAL update-mode streaming aggregation: per-(tool, register) MAX-rho
+    state maintained over the transcript stream (MAX is the sketch's
+    merge operator, so the state IS the sketch), per-micro-batch deltas
+    committed exactly-once through the epoch sink, folded back
+    (latest epoch per register wins — registers are monotone
+    nondecreasing, so the fold is order-safe), then estimated with the
+    same order-pinned register fold as the batch operator and joined to
+    the batch exact counts. Oracle: the batch tool_conv_hll SQL —
+    streamed sketch == batch sketch == DuckDB, value-exact.
+
+    This is the 100 TB shape of approximate distinct counting on a
+    stream: bounded O(groups x m) state regardless of key cardinality,
+    no watermark needed (registers never expire), RocksDB-able."""
+    from stellar_etl_spark.functions.sketch import (
+        hll_estimate,
+        hll_join_exact,
+        hll_registers,
+    )
+
+    src_dir = _slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_hll_")
+    sink = EpochCommitSink(os.path.join(work, "sink"))
+    stream = (
+        read_transcript_stream(
+            spark, src_dir, max_files_per_trigger=2, with_lineage=False
+        )
+        .filter(F.col("conv_id") != CLOSER_CONV)
+        .filter(F.col("tool").isNotNull())
+    )
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        sink.write_epoch(
+            epoch_id,
+            {HLL_TABLE: batch_df.withColumn("epoch_id", F.lit(epoch_id))},
+        )
+
+    q = (
+        hll_registers(stream, "conv_id", "tool")
+        .writeStream.queryName("parity_hll")
+        .outputMode("update")
+        .foreachBatch(_write)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    deltas = sink.read_table(spark, HLL_TABLE)
+    regs = (
+        deltas.groupBy("tool", "bucket")
+        .agg(F.max_by("rho", F.col("epoch_id")).alias("rho"))
+    )
+    batch = load_transcripts(spark, sf_dir).filter(F.col("tool").isNotNull())
+    return hll_join_exact(
+        hll_estimate(regs, "tool"), batch, "conv_id", "tool", "tool"
+    )
