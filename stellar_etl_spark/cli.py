@@ -65,7 +65,14 @@ def _tables(cfg: EngineConfig):
         "conv_participants": dims.conv_participants,
         "conv_retention": journeys.conv_retention,
         "tool_transitions": journeys.tool_transitions,
+        "tool_conv_hll": _tool_conv_hll_table,
     }
+
+
+def _tool_conv_hll_table(df: DataFrame) -> DataFrame:
+    from stellar_etl_spark.functions.sketch import tool_conv_hll
+
+    return tool_conv_hll(df)
 
 
 def _apply_range(df: DataFrame, args, streaming: bool = False) -> DataFrame:

@@ -28,7 +28,8 @@ def test_cli_batch_export_all(spark, small_input, tmp_path):
     )
     assert rc == 0
     for table in ["turns", "sessions", "tool_rate", "pairs", "fact_tool_events",
-                  "latency_quantiles", "conv_retention", "tool_transitions"]:
+                  "latency_quantiles", "conv_retention", "tool_transitions",
+                  "tool_conv_hll"]:
         assert spark.read.parquet(f"{out}/{table}").count() > 0
 
     # batch CLI output == operator output (same cfg, same input)
