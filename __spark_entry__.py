@@ -252,6 +252,10 @@ def _q_decontaminate(spark, sf):
     return ftp.decontaminate(_C(spark, sf))
 
 
+def _q_decontaminate_bloom(spark, sf):
+    return ftp.decontaminate_bloom(_C(spark, sf))
+
+
 def _q_pack_sequences(spark, sf):
     return ftp.pack_sequences(_C(spark, sf))
 
@@ -437,6 +441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_documents": _q_conv_documents,
         "conv_doc_dedup": _q_conv_doc_dedup,
         "decontaminate": _q_decontaminate,
+        "decontaminate_bloom": _q_decontaminate_bloom,
         "pack_sequences": _q_pack_sequences,
         "boilerplate_spans": _q_boilerplate_spans,
         "lang_centroids": _q_lang_centroids,
@@ -542,6 +547,8 @@ def oracle_sql() -> dict[str, str]:
         "conv_documents": _W + journeys.CONV_DOCUMENTS_ORACLE_SQL,
         "conv_doc_dedup": _W + journeys.conv_doc_dedup_oracle_sql(),
         "decontaminate": ftp.decontaminate_oracle(fcorpus.CORPUS_CTE),
+        # bloom prefilter is output-invariant: same oracle as decontaminate
+        "decontaminate_bloom": ftp.decontaminate_oracle(fcorpus.CORPUS_CTE),
         "pack_sequences": ftp.pack_sequences_oracle(fcorpus.CORPUS_CTE),
         "boilerplate_spans": ftp.boilerplate_spans_oracle(fcorpus.CORPUS_CTE),
         "lang_centroids": ftp.lang_centroids_oracle(fcorpus.EMB_CTE),

@@ -37,6 +37,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,22 +84,7 @@ def decontaminate(corpus: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
-    return (
-        body.select("doc_id", F.size("hs").cast("long").alias("n_grams"))
-        .join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_grams"), 6
-            ).alias("overlap_frac"),
-            (
-                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_grams")
-                >= CONTAM_T
-            ).alias("contaminated"),
-        )
-    )
+    return _decontam_assemble(body, hits)
 
 
 def decontaminate_oracle(corpus_cte: str) -> str:
@@ -119,6 +106,108 @@ SELECT b.doc_id,
          AS contaminated
 FROM body b LEFT JOIN hits h ON h.doc_id = b.doc_id
 """
+
+
+# --- bloom-prefiltered decontamination ---------------------------------------
+
+# 2^20-bit (128 KiB) bitset, 4 probes. For ~5e4 distinct eval grams the
+# FP rate is (1 - e^(-kn/m))^k ~ 1e-5; at 100 TB size m at ~16 bits per
+# eval gram (benchmark suites are MBs, so the bitset stays driver- and
+# broadcast-safe — the same size class as Spark's own runtime bloom
+# filters, which also materialize on the driver).
+BLOOM_BITS = 1 << 20
+BLOOM_K = 4
+# Affine probe family over the gram space: grams are < P (~2^30,
+# hashing.shingle_hashes_from_words), A,B < P, so A*g + B < 2^60 —
+# exact in int64 under ANSI Spark, DuckDB and numpy alike. Build
+# (JVM expression) and probe (vectorized numpy) agree bit-for-bit.
+BLOOM_A = [(j * 2654435761 + 97911) % (H.P - 1) + 1 for j in range(BLOOM_K)]
+BLOOM_B = [(j * 998244353 + 31337) % H.P for j in range(BLOOM_K)]
+
+
+def _bloom_pos_sql(j: int) -> str:
+    return f"pmod(({BLOOM_A[j]}L * g + {BLOOM_B[j]}L) % {H.P}L, {BLOOM_BITS}L)"
+
+
+def decontaminate_bloom(corpus: DataFrame) -> DataFrame:
+    """``decontaminate`` with a distributed Bloom prefilter on the
+    corpus gram stream — output is IDENTICAL (same oracle): the bloom
+    has no false negatives, so every eval-overlapping gram survives to
+    the exact verify join, and false positives are removed by that same
+    join. What changes is the physical plan: at 100 TB the corpus side
+    explodes O(tokens) gram probes, and the bloom drops the ~non-
+    overlapping tail map-side BEFORE the join/shuffle, so the exact
+    join sees only candidate grams (the Spark runtime-filter /
+    injected-bloom pattern, built explicitly because
+    ``bloom_filter_agg``/``might_contain`` are not public SQL API).
+
+    Build: set-bit positions are computed as a JVM expression over the
+    distinct eval grams and collected — bounded by min(K*|eval|,
+    BLOOM_BITS) ints, metadata-sized by the benchmark-suite contract
+    (eval sets are MBs). No corpus-sized data touches the driver.
+    Probe: one Arrow-batched pandas UDF testing K bit positions per
+    gram against the broadcast 128 KiB bitset (numpy vectorized)."""
+    from pyspark.sql.functions import pandas_udf
+
+    hs = _hashes_df(corpus)
+    ev = (
+        hs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode("hs").alias("g"))
+        .distinct()
+    )
+    pos_rows = (
+        ev.select(
+            F.explode(F.array(*[F.expr(_bloom_pos_sql(j)) for j in range(BLOOM_K)]))
+            .alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    pos = np.array([r["p"] for r in pos_rows], dtype=np.int64)
+    np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(bits.tobytes())
+    a = np.array(BLOOM_A, dtype=np.int64)
+    b = np.array(BLOOM_B, dtype=np.int64)
+
+    @pandas_udf("boolean")
+    def might_contain(g: pd.Series) -> pd.Series:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        gv = g.to_numpy(dtype=np.int64)[:, None]
+        p = ((a[None, :] * gv + b[None, :]) % H.P) % BLOOM_BITS
+        hit = (arr[p >> 3] & (np.uint8(1) << (p & 7).astype(np.uint8))) != 0
+        return pd.Series(hit.all(axis=1))
+
+    body = hs.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = (
+        body.select("doc_id", F.explode("hs").alias("g"))
+        .filter(might_contain("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return _decontam_assemble(body, hits)
+
+
+def _decontam_assemble(body: DataFrame, hits: DataFrame) -> DataFrame:
+    """Shared final projection of the decontamination family."""
+    return (
+        body.select("doc_id", F.size("hs").cast("long").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_grams"), 6
+            ).alias("overlap_frac"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_grams")
+                >= CONTAM_T
+            ).alias("contaminated"),
+        )
+    )
 
 
 # --- token-budget sequence packing -------------------------------------------
