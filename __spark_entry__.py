@@ -371,6 +371,16 @@ def _q_tool_rate_5m_sliding_streamed(spark, sf):
     return parity.streamed_tool_rate_sliding(spark, sf, CFG)
 
 
+def _q_latency_quantiles_streamed(spark, sf):
+    """Latency quantiles from a streamed mergeable histogram (per-
+    micro-batch partials through the epoch sink, merge = SUM, exact
+    rank interpolation on the merged histogram); oracle = the batch
+    latency_quantiles SQL."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_latency_quantiles(spark, sf, CFG)
+
+
 def _q_dedup_exact_streamed(spark, sf):
     """T1 as a REAL streaming stateful aggregation: per-fingerprint
     (min doc_id, count) state over the doc_id-sliced corpus stream,
@@ -415,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_rate_1m_streamed": _q_tool_rate_1m_streamed,
         "dedup_exact_streamed": _q_dedup_exact_streamed,
         "tool_rate_5m_sliding_streamed": _q_tool_rate_5m_sliding_streamed,
+        "latency_quantiles_streamed": _q_latency_quantiles_streamed,
         # training-data pipeline ops (documents/embeddings)
         "doc_stats": _q_doc_stats,
         "doc_lang_id": _q_doc_lang_id,
@@ -540,6 +551,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": fcur.stratified_sample_oracle(fcorpus.CORPUS_CTE),
         "doc_top_terms": fcur.doc_top_terms_oracle(fcorpus.CORPUS_CTE),
         "latency_quantiles": _W + pairs.latency_quantiles_oracle_sql(),
+        # histogram sketch is lossless for rank quantiles: same oracle
+        "latency_quantiles_streamed": _W + pairs.latency_quantiles_oracle_sql(),
         "quality_funnel": fcur.quality_funnel_oracle(fcorpus.CORPUS_CTE),
         "doc_repetition": fcur.doc_repetition_oracle(fcorpus.CORPUS_CTE),
         "conv_retention": _W + journeys.RETENTION_ORACLE_SQL,

@@ -49,7 +49,7 @@ import tempfile
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stellar_etl_spark.config import DEFAULT, EngineConfig
@@ -502,4 +502,106 @@ def streamed_tool_conv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = load_transcripts(spark, sf_dir).filter(F.col("tool").isNotNull())
     return hll_join_exact(
         hll_estimate(regs, "tool"), batch, "conv_id", "tool", "tool"
+    )
+
+
+LAT_HIST_TABLE = "lat_hist"
+
+
+def streamed_latency_quantiles(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Exact latency quantiles from a STREAMED MERGEABLE HISTOGRAM:
+    the stateful matcher's matched pairs are reduced per micro-batch to
+    a (responder, latency, count) partial histogram, appended through
+    the exactly-once epoch sink, and merged at read time by SUM — the
+    mergeable-sketch shape (merge = +, commutative/associative), with
+    the exact rank-interpolation quantile computed from the merged
+    histogram. Values hash-match the batch latency_quantiles oracle
+    because a histogram loses nothing the rank arithmetic needs: the
+    value at sorted rank r is the bin whose cumulative count first
+    reaches r, and interpolation reads only those bin values.
+
+    At 100 TB this is the production shape for streaming latency SLOs:
+    per-micro-batch partials are bounded by the distinct (responder,
+    latency) pairs seen in that batch; quantize latency to ms (here µs
+    latencies keep the oracle exact) to bound the merged histogram at
+    responder_count x latency_range/resolution regardless of pair
+    count. The matcher (stateful) and the histogram (per-batch batch
+    aggregation inside foreachBatch) never chain two stateful streaming
+    operators, so the plan stays within documented semantics."""
+    from stellar_etl_spark.deploy import ship_package
+    from stellar_etl_spark.operators.pairs import QUANTILES_PERMILLE
+    from stellar_etl_spark.streaming.matcher import match_pairs_stream
+
+    ship_package(spark)
+    src_dir = _slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_latq_")
+    sink = EpochCommitSink(os.path.join(work, "sink"))
+    parity_cfg = EngineConfig(
+        session_gap=cfg.session_gap, watermark_delay=PARITY_DELAY
+    )
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    )
+
+    def _hist_writer(batch_df: DataFrame, epoch_id: int) -> None:
+        hist = (
+            batch_df.filter(~F.col("evicted_unmatched"))
+            .filter(F.col("conv_id") != CLOSER_CONV)
+            .groupBy(
+                F.coalesce("response_tool", "response_role").alias("responder"),
+                "latency_s",
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("epoch_id", F.lit(epoch_id))
+        )
+        sink.write_epoch(epoch_id, {LAT_HIST_TABLE: hist})
+
+    q = (
+        match_pairs_stream(stream, parity_cfg)
+        .writeStream.queryName("parity_latq")
+        .outputMode("append")
+        .foreachBatch(_hist_writer)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = (
+        sink.read_table(spark, LAT_HIST_TABLE)
+        .groupBy("responder", "latency_s")
+        .agg(F.sum("n").cast("long").alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("responder")
+        .orderBy("latency_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = merged.withColumn("cum", F.sum("c").over(wcum)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("responder"))
+    )
+    prev = F.col("cum") - F.col("c")
+    aggs = [F.sum("c").cast("long").alias("n_pairs")]
+    for pm in QUANTILES_PERMILLE:
+        k = F.expr(f"({pm} * (n - 1)) div 1000")
+        rem = (F.lit(pm) * (F.col("n") - 1)) % 1000
+        r_lo = k + 1
+        r_hi = F.least(k + 2, F.col("n"))
+        lo = F.max(
+            F.when((prev < r_lo) & (r_lo <= F.col("cum")), F.col("latency_s"))
+        )
+        hi = F.max(
+            F.when((prev < r_hi) & (r_hi <= F.col("cum")), F.col("latency_s"))
+        )
+        d = rem.cast("double") / 1000.0
+        # rem is constant per responder; max() carries it through (the
+        # same trick as the batch form, keeping the arithmetic identical)
+        qv = lo + F.max(d) * (hi - lo)
+        aggs.append(F.round(qv, 6).alias(f"p{pm}"))
+    return (
+        h.groupBy("responder")
+        .agg(*aggs)
+        .select("responder", "n_pairs", *[f"p{pm}" for pm in QUANTILES_PERMILLE])
     )
