@@ -200,6 +200,10 @@ def _q_dup_clusters(spark, sf):
     return fdedup.dup_clusters(_C(spark, sf))
 
 
+def _q_dedup_resolve(spark, sf):
+    return fdedup.dedup_resolve(_C(spark, sf))
+
+
 def _q_ann_brute(spark, sf):
     return fsim.ann_bruteforce(fcorpus.load_embeddings(spark, sf))
 
@@ -312,6 +316,10 @@ def _q_state_conv_tools(spark, sf):
     return state.state_conv_tools(_T(spark, sf))
 
 
+def _q_state_intervals(spark, sf):
+    return state.state_intervals(_T(spark, sf))
+
+
 _CLOSED_AS_OF = "2024-01-08 00:00:00"
 
 
@@ -416,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exchanges": _q_exchanges,
         "conv_participants": _q_conv_participants,
         "state_conv_tools": _q_state_conv_tools,
+        "state_intervals": _q_state_intervals,
         "closed_sessions": _q_closed_sessions,
         # streaming-stack parity: the streaming engine itself behind the
         # exact value oracles (stream==batch, driver-gated)
@@ -439,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "dedup_embedding": _q_dedup_embedding,
         "dup_clusters": _q_dup_clusters,
+        "dedup_resolve": _q_dedup_resolve,
         "ann_topk_brute": _q_ann_brute,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
@@ -524,6 +534,7 @@ def oracle_sql() -> dict[str, str]:
         "exchanges": _W + exchange.EXCHANGES_ORACLE_SQL,
         "conv_participants": _W + dims.CONV_PARTICIPANTS_ORACLE_SQL,
         "state_conv_tools": _W + state.STATE_CONV_TOOLS_ORACLE_SQL,
+        "state_intervals": _W + state.STATE_INTERVALS_ORACLE_SQL,
         "turn_pairs_streamed": _W + pairs.PAIRS_ORACLE_SQL,
         "snapshot_streamed": _W + state.COMPACT_ORACLE_SQL,
         "sessions_streamed": _W + sessions.session_oracle_sql("INTERVAL 8 HOUR"),
@@ -545,6 +556,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
         "dedup_embedding": fdedup.embedding_dup_oracle(),
         "dup_clusters": fdedup.dup_clusters_oracle(fcorpus.CORPUS_CTE),
+        "dedup_resolve": fdedup.dedup_resolve_oracle(fcorpus.CORPUS_CTE),
         "ann_topk_brute": fsim.ann_bruteforce_oracle(fcorpus.EMB_CTE),
         "ann_topk_lsh": fsim.ann_lsh_oracle(fcorpus.EMB_CTE),
         "ann_topk_ivf": fsim.ann_ivf_oracle(fcorpus.EMB_CTE),

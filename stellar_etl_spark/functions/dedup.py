@@ -665,11 +665,12 @@ def dup_clusters(corpus: DataFrame) -> DataFrame:
     )
 
 
-def dup_clusters_oracle(corpus_cte: str) -> str:
+def _dup_cluster_ctes(corpus_cte: str) -> str:
+    """Shared WITH-body (through `labeled`) for the cluster oracles."""
     from .graph import cc_reach_oracle_cte
 
     fp = H.char_hash_wide(_norm_expr(False), spark=False)
-    return f"""WITH RECURSIVE {_minhash_pair_ctes(corpus_cte)},
+    return f"""{_minhash_pair_ctes(corpus_cte)},
 fps AS (SELECT doc_id, {fp} AS fp64 FROM corpus),
 exact_edges AS (
   SELECT doc_id AS src,
@@ -686,9 +687,65 @@ edges AS MATERIALIZED (
 labeled AS (
   SELECT c.doc_id, COALESCE(r.rep, c.doc_id) AS cluster_rep
   FROM corpus c LEFT JOIN cc_reps r ON r.node = c.doc_id
-)
+)"""
+
+
+def dup_clusters_oracle(corpus_cte: str) -> str:
+    return f"""WITH RECURSIVE {_dup_cluster_ctes(corpus_cte)}
 SELECT doc_id, cluster_rep,
        COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size,
        CAST(doc_id = cluster_rep AS BIGINT) AS keep
 FROM labeled
+"""
+
+
+def dedup_resolve(corpus: DataFrame) -> DataFrame:
+    """Canonical-document selection per duplicate cluster by QUALITY
+    rather than first-seen: within each transitive dup cluster keep the
+    longest text (tie -> lowest doc_id). This is the policy step after
+    clustering — first-seen (dup_clusters' min-id keep) matches the
+    reference's fold (cmd/export_assets.go:40-58), but a training
+    pipeline usually keeps the best-quality copy instead; any scoring
+    column slots into the same argmax.
+
+    Scale: reuses the dup_clusters labeling (pairs-only edges + CC
+    fixpoint); the argmax is one window pass partitioned by
+    cluster_rep — cluster sizes are dedup-bounded (band caps upstream),
+    so no partition skews."""
+    clusters = dup_clusters(corpus).select("doc_id", "cluster_rep", "cluster_size")
+    lens = corpus.select(
+        "doc_id", F.length("text").cast("long").alias("text_len")
+    )
+    sized = clusters.join(lens, "doc_id")
+    w = Window.partitionBy("cluster_rep").orderBy(
+        F.col("text_len").desc(), F.col("doc_id").asc()
+    )
+    best = F.first("doc_id").over(w)
+    return sized.select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        "text_len",
+        best.cast("long").alias("keep_doc_id"),
+        (F.col("doc_id") == best).cast("long").alias("keep"),
+    )
+
+
+def dedup_resolve_oracle(corpus_cte: str) -> str:
+    return f"""WITH RECURSIVE {_dup_cluster_ctes(corpus_cte)},
+clusters AS (
+  SELECT doc_id, cluster_rep,
+         COUNT(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+  FROM labeled
+),
+sized AS (
+  SELECT cl.doc_id, cl.cluster_rep, cl.cluster_size,
+         CAST(LENGTH(c.text) AS BIGINT) AS text_len
+  FROM clusters cl JOIN corpus c ON c.doc_id = cl.doc_id
+)
+SELECT doc_id, cluster_rep, cluster_size, text_len,
+       FIRST_VALUE(doc_id) OVER w AS keep_doc_id,
+       CAST(doc_id = FIRST_VALUE(doc_id) OVER w AS BIGINT) AS keep
+FROM sized
+WINDOW w AS (PARTITION BY cluster_rep ORDER BY text_len DESC, doc_id ASC)
 """

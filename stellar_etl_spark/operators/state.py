@@ -104,6 +104,48 @@ STATE_CONV_TOOLS_ORACLE_SQL = """
 """
 
 
+def state_intervals(df: DataFrame) -> DataFrame:
+    """SCD2 validity intervals over the per-(conv_id, role) change
+    stream: each turn's state is effective from its own ts until the
+    next change of the same key (NULL effective_to = current row).
+
+    The history-table side of compaction — where ``compact_last_state``
+    keeps only the net row (the reference's ChangeCompactor,
+    /root/reference/internal/input/changes.go:102-136), this keeps
+    every version with its validity window, the standard warehouse
+    slowly-changing-dimension type-2 layout the reference approximates
+    by exporting one row per ledger change with closed_at stamps
+    (/root/reference/internal/transform/trustline.go:18-107 exports
+    deleted/updated flags per change for the same reason).
+
+    Scale: one shuffle on the key, one window pass per key — history
+    row count equals input row count (narrow projection), and the
+    partition key (conv_id, role) distributes evenly because hot
+    conversations split across roles."""
+    w = Window.partitionBy("conv_id", "role").orderBy("turn_idx")
+    return df.select(
+        "conv_id",
+        "role",
+        "turn_idx",
+        "tool",
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.row_number().over(w).alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+STATE_INTERVALS_ORACLE_SQL = """
+    SELECT conv_id, role, turn_idx, tool,
+           ts AS effective_from,
+           LEAD(ts) OVER w AS effective_to,
+           CAST(ROW_NUMBER() OVER w AS INTEGER) AS version,
+           LEAD(ts) OVER w IS NULL AS is_current
+    FROM transcripts
+    WINDOW w AS (PARTITION BY conv_id, role ORDER BY turn_idx)
+"""
+
+
 def asof_last_tool(df: DataFrame) -> DataFrame:
     """For every turn: the most recent tool used at or before it in the
     conversation (as-of join via window frame, W5 in SURVEY §2.5)."""
