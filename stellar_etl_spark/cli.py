@@ -61,6 +61,7 @@ def _tables(cfg: EngineConfig):
         "tool_event_details": star.tool_event_details,
         "successful_tool_calls": star.successful_tool_calls,
         "state_conv_tools": state.state_conv_tools,
+        "state_intervals": state.state_intervals,
         "exchanges": exchange.exchanges,
         "conv_participants": dims.conv_participants,
         "conv_retention": journeys.conv_retention,

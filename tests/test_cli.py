@@ -29,7 +29,7 @@ def test_cli_batch_export_all(spark, small_input, tmp_path):
     assert rc == 0
     for table in ["turns", "sessions", "tool_rate", "pairs", "fact_tool_events",
                   "latency_quantiles", "conv_retention", "tool_transitions",
-                  "tool_conv_hll"]:
+                  "tool_conv_hll", "state_intervals"]:
         assert spark.read.parquet(f"{out}/{table}").count() > 0
 
     # batch CLI output == operator output (same cfg, same input)

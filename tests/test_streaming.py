@@ -443,3 +443,46 @@ def test_snapshot_fold_survives_compaction(spark, data_dir, tmp_path):
     assert sink.vacuum() > 0
     after = _rows(read_final_snapshot(spark, str(tmp_path / "sink")))
     assert after == before
+
+
+def test_tws_matcher_parity(spark, data_dir, tmp_path):
+    """transformWithState matcher == applyInPandasWithState matcher ==
+    batch matcher on the same input (J1 across both stateful APIs).
+    Skips where the TWS state-server protocol's protobuf runtime is
+    absent (this sandbox); runs unmodified on a real Spark 4 cluster."""
+    pytest.importorskip("google.protobuf")
+    from stellar_etl_spark.streaming.matcher_tws import (
+        ROCKSDB_PROVIDER,
+        match_pairs_stream_tws,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        stream = read_transcript_stream(spark, data_dir, max_files_per_trigger=2,
+                                        with_lineage=False)
+        q = (
+            match_pairs_stream_tws(stream, CFG)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(540)
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+
+    got = spark.read.parquet(str(tmp_path / "out"))
+    batch = batch_pairs.match_pairs(read_transcript_batch(spark, data_dir), CFG)
+    cols = ["conv_id", "user_turn_idx", "response_turn_idx", "response_role",
+            "response_tool", "evicted_unmatched"]
+    got_matched = _rows(got.filter(~F.col("evicted_unmatched")), cols)
+    batch_matched = _rows(batch.filter(~F.col("evicted_unmatched")), cols)
+    assert got_matched == batch_matched
+    assert len(got_matched) > 100
