@@ -69,6 +69,29 @@ _DELAY_US = 3650 * 86400 * 1_000_000
 _SLACK_US = 30 * 86400 * 1_000_000
 N_SLICES = 6
 
+# Streaming state-store partition count for the parity drains: each
+# micro-batch schedules one task per state partition, so at bench scale
+# (32-core session => 200/32 shuffle partitions) most tasks carry zero
+# state and the drain pays pure scheduling overhead. 8 partitions keeps
+# the evidence identical (results are partition-count independent;
+# tests already run at 8) and cuts per-trigger cost ~4x. A real 100 TB
+# deployment sizes this to executor count x cores as usual — it is a
+# drain-local override, not an engine default.
+DRAIN_PARTITIONS = "8"
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _drain_conf(spark: SparkSession):
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, DRAIN_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prior)
+
 
 def _slice_dir(spark: SparkSession, sf_dir: str, n_files: int = N_SLICES) -> str:
     """Materialize the derived transcripts as n_files time-range slices
@@ -171,20 +194,26 @@ def streamed_turn_pairs(
     parity_cfg = EngineConfig(
         session_gap=cfg.session_gap, watermark_delay=PARITY_DELAY
     )
+    # 2 files/trigger: state still hands off across 3 data batches; the
+    # final evictions ride Spark's no-data micro-batch (the watermark
+    # advance from the closer batch fires every pending EventTimeTimeout
+    # in an extra empty batch - documented noDataMicroBatches behavior),
+    # so the two closer files no longer need separate triggers.
     stream = read_transcript_stream(
-        spark, src_dir, max_files_per_trigger=1, with_lineage=False
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
     )
-    q = (
-        match_pairs_stream(stream, parity_cfg)
-        .writeStream.queryName("parity_pairs")
-        .outputMode("append")
-        .format("parquet")
-        .option("path", os.path.join(work, "out"))
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_conf(spark):
+        q = (
+            match_pairs_stream(stream, parity_cfg)
+            .writeStream.queryName("parity_pairs")
+            .outputMode("append")
+            .format("parquet")
+            .option("path", os.path.join(work, "out"))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(os.path.join(work, "out")).filter(
         F.col("conv_id") != CLOSER_CONV
     )
@@ -195,16 +224,17 @@ def _drain_append(df: DataFrame, name: str) -> str:
     parquet dir (availableNow drain); return the output path."""
     work = tempfile.mkdtemp(prefix=f"parity_{name}_")
     out = os.path.join(work, "out")
-    q = (
-        df.writeStream.queryName(f"parity_{name}")
-        .outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_conf(df.sparkSession):
+        q = (
+            df.writeStream.queryName(f"parity_{name}")
+            .outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return out
 
 
@@ -380,16 +410,17 @@ def streamed_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    q = (
-        dedup_stream_agg(stream)
-        .writeStream.queryName("parity_dedup")
-        .outputMode("update")
-        .foreachBatch(dedup_epoch_writer(EpochCommitSink(sink_root)))
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_conf(spark):
+        q = (
+            dedup_stream_agg(stream)
+            .writeStream.queryName("parity_dedup")
+            .outputMode("update")
+            .foreachBatch(dedup_epoch_writer(EpochCommitSink(sink_root)))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return fold_dedup_sink(spark, sink_root, sf_dir)
 
 
@@ -429,14 +460,15 @@ def streamed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_transcript_stream(
         spark, src_dir, max_files_per_trigger=2, with_lineage=False
     ).filter(F.col("conv_id") != CLOSER_CONV)
-    q = start_snapshot_stream(
-        stream,
-        os.path.join(work, "sink"),
-        os.path.join(work, "ckpt"),
-        available_now=True,
-        query_name="parity_snapshot",
-    )
-    q.awaitTermination()
+    with _drain_conf(spark):
+        q = start_snapshot_stream(
+            stream,
+            os.path.join(work, "sink"),
+            os.path.join(work, "ckpt"),
+            available_now=True,
+            query_name="parity_snapshot",
+        )
+        q.awaitTermination()
     return read_final_snapshot(spark, os.path.join(work, "sink"))
 
 
@@ -483,16 +515,17 @@ def streamed_tool_conv_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             {HLL_TABLE: batch_df.withColumn("epoch_id", F.lit(epoch_id))},
         )
 
-    q = (
-        hll_registers(stream, "conv_id", "tool")
-        .writeStream.queryName("parity_hll")
-        .outputMode("update")
-        .foreachBatch(_write)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_conf(spark):
+        q = (
+            hll_registers(stream, "conv_id", "tool")
+            .writeStream.queryName("parity_hll")
+            .outputMode("update")
+            .foreachBatch(_write)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     deltas = sink.read_table(spark, HLL_TABLE)
     regs = (
@@ -558,16 +591,17 @@ def streamed_latency_quantiles(
         )
         sink.write_epoch(epoch_id, {LAT_HIST_TABLE: hist})
 
-    q = (
-        match_pairs_stream(stream, parity_cfg)
-        .writeStream.queryName("parity_latq")
-        .outputMode("append")
-        .foreachBatch(_hist_writer)
-        .option("checkpointLocation", os.path.join(work, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _drain_conf(spark):
+        q = (
+            match_pairs_stream(stream, parity_cfg)
+            .writeStream.queryName("parity_latq")
+            .outputMode("append")
+            .foreachBatch(_hist_writer)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     merged = (
         sink.read_table(spark, LAT_HIST_TABLE)
@@ -634,17 +668,18 @@ def streamed_turn_pairs_tws(
     prior = spark.conf.get(key, None)
     spark.conf.set(key, ROCKSDB_PROVIDER)
     try:
-        q = (
-            match_pairs_stream_tws(stream, parity_cfg)
-            .writeStream.queryName("parity_pairs_tws")
-            .outputMode("append")
-            .format("parquet")
-            .option("path", os.path.join(work, "out"))
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _drain_conf(spark):
+            q = (
+                match_pairs_stream_tws(stream, parity_cfg)
+                .writeStream.queryName("parity_pairs_tws")
+                .outputMode("append")
+                .format("parquet")
+                .option("path", os.path.join(work, "out"))
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if prior is None:
             spark.conf.unset(key)
