@@ -171,6 +171,18 @@ def _q_tool_conv_hll(spark, sf):
     return fsketch.tool_conv_hll(_T(spark, sf))
 
 
+def _q_conv_turns_cms(spark, sf):
+    return fsketch.conv_turns_cms(_T(spark, sf))
+
+
+def _q_conv_turns_cms_streamed(spark, sf):
+    """CMS counter grid as update-mode streaming state (SUM merge),
+    folded from the epoch sink; oracle = the batch CMS SQL."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_conv_turns_cms(spark, sf)
+
+
 def _q_tool_conv_hll_streamed(spark, sf):
     from stellar_etl_spark.streaming import parity
     return parity.streamed_tool_conv_hll(spark, sf)
@@ -450,6 +462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "redact_pii": _q_redact_pii,
         "tool_conv_hll": _q_tool_conv_hll,
+        "conv_turns_cms": _q_conv_turns_cms,
+        "conv_turns_cms_streamed": _q_conv_turns_cms_streamed,
         "tool_conv_hll_streamed": _q_tool_conv_hll_streamed,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -557,6 +571,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": ftext.fingerprint_oracle(fcorpus.CORPUS_CTE),
         "redact_pii": ftext.redact_pii_oracle(fcorpus.CORPUS_CTE),
         "tool_conv_hll": _W + fsketch.tool_conv_hll_oracle(),
+        "conv_turns_cms": _W + fsketch.conv_turns_cms_oracle(),
+        # streamed counters fold to the identical grid: same oracle
+        "conv_turns_cms_streamed": _W + fsketch.conv_turns_cms_oracle(),
         "tool_conv_hll_streamed": _W + fsketch.tool_conv_hll_oracle(),
         "dedup_exact": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
         "dedup_exact_streamed": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),

@@ -191,3 +191,142 @@ SELECT e.tool, e.n_registers, ROUND(e.est_raw, 6) AS est_distinct,
              / x.exact_distinct, 6) AS rel_err
 FROM est e JOIN exact x ON x.tool = e.tool
 """
+
+
+# --- count-min frequency sketch ----------------------------------------------
+#
+# The frequency-estimation complement of the HLL: per-key counts at
+# 100 TB without shuffling the key universe. Counters are a D x W grid
+# (D independent hash rows, W buckets); the per-partition partials
+# merge with SUM — associative, map-side combinable — so the shuffle
+# carries at most D*W counter rows regardless of key cardinality, and
+# the per-key estimate is the MIN over its D buckets (never an
+# under-count; over-count bounded by e*N/W w.p. 1-e^-D). Like the HLL,
+# every hash is a portable mod-P affine of the identity hash, so the
+# full sketch has an EXACT DuckDB value oracle; the exact-count branch
+# exists only as the verification column.
+
+CMS_D = 4
+CMS_W = 2048
+# affine row-hash family over the mod-P-reduced identity hash:
+# A,B < P and hmod < P so A*hmod + B < 2^60 — ANSI/int64-exact in
+# Spark, DuckDB and the estimate probes alike
+CMS_A = [(d * 40503 + 2654435761) % (H.P - 1) + 1 for d in range(CMS_D)]
+CMS_B = [(d * 69069 + 998244353) % H.P for d in range(CMS_D)]
+
+
+def _cms_hmod(key: str, spark: bool) -> str:
+    return f"(({H.char_hash_wide(key, spark)}) % {H.P})"
+
+
+def _cms_bucket(d: int, hmod: str) -> str:
+    # identical text in both dialects (integer ops only)
+    return f"((({CMS_A[d]} * {hmod} + {CMS_B[d]}) % {H.P}) % {CMS_W})"
+
+
+def cms_counters(df: DataFrame, key: str) -> DataFrame:
+    """(d, bucket, SUM count) counter grid — the mergeable sketch
+    state. Identical on a batch DataFrame and as an update-mode
+    streaming aggregation (SUM merge => cumulative, replay-safe)."""
+    hmod = _cms_hmod(key, spark=True)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                F.expr(_cms_bucket(d, hmod)).cast("int").alias("bucket"),
+            )
+            for d in range(CMS_D)
+        ]
+    )
+    return (
+        df.select(F.explode(rows).alias("r"))
+        .select("r.d", "r.bucket")
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def cms_freq(df: DataFrame, key: str, out_key: str | None = None) -> DataFrame:
+    """Per-key CMS frequency estimate (MIN over the key's D counters)
+    alongside the exact count and relative over-count.
+
+    Plan shape: one narrow pass -> D*W-bounded counter shuffle; the
+    probe side is the DISTINCT key table (exploded x D, joined on the
+    counter grid — the grid is sketch-sized, so the join broadcasts)."""
+    kname = out_key or key
+    counters = cms_counters(df, key)
+    hmod = _cms_hmod(key, spark=True)
+    keys = (
+        df.select(F.col(key).alias(kname), F.expr(hmod).alias("hmod"))
+        .groupBy(kname, "hmod")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    probes = keys.select(
+        kname,
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(_cms_bucket(d, "hmod")).cast("int").alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("r"),
+    ).select(kname, "exact_count", "r.d", "r.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy(kname, "exact_count")
+        .agg(F.min("c").cast("long").alias("est_count"))
+        .select(
+            kname,
+            "est_count",
+            "exact_count",
+            F.round(
+                (F.col("est_count") - F.col("exact_count")).cast("double")
+                / F.col("exact_count"),
+                6,
+            ).alias("rel_overcount"),
+        )
+    )
+
+
+def conv_turns_cms(transcripts: DataFrame) -> DataFrame:
+    """Per-conversation turn counts via the CMS (plus exact + error
+    verification columns) — a genuinely high-cardinality key, unlike
+    the tool vocabulary."""
+    return cms_freq(transcripts, "conv_id")
+
+
+def conv_turns_cms_oracle() -> str:
+    hmod = _cms_hmod("conv_id", spark=False)
+    counter_rows = "\n    UNION ALL ".join(
+        f"SELECT {d} AS d, {_cms_bucket(d, 'hmod')} AS bucket FROM base"
+        for d in range(CMS_D)
+    )
+    probe_rows = "\n    UNION ALL ".join(
+        f"SELECT conv_id, exact_count, {d} AS d, {_cms_bucket(d, 'hmod')} AS bucket FROM keys"
+        for d in range(CMS_D)
+    )
+    return f"""
+, base AS (SELECT conv_id, {hmod} AS hmod FROM transcripts),
+counters AS (
+  SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+  FROM ({counter_rows})
+  GROUP BY d, bucket
+),
+keys AS (
+  SELECT conv_id, hmod, CAST(COUNT(*) AS BIGINT) AS exact_count
+  FROM base GROUP BY conv_id, hmod
+),
+probes AS ({probe_rows})
+SELECT p.conv_id,
+       CAST(MIN(c.c) AS BIGINT) AS est_count,
+       p.exact_count,
+       ROUND(CAST(MIN(c.c) - p.exact_count AS DOUBLE) / p.exact_count, 6)
+         AS rel_overcount
+FROM probes p JOIN counters c ON c.d = p.d AND c.bucket = p.bucket
+GROUP BY p.conv_id, p.exact_count
+"""

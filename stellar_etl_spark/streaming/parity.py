@@ -688,3 +688,92 @@ def streamed_turn_pairs_tws(
     return spark.read.parquet(os.path.join(work, "out")).filter(
         F.col("conv_id") != CLOSER_CONV
     )
+
+
+CMS_TABLE = "cms_counters"
+
+
+def streamed_conv_turns_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min frequency sketch (functions/sketch.py) as a REAL
+    update-mode streaming aggregation: the (d, bucket) -> SUM counter
+    grid maintained as streaming state (SUM is the sketch's merge
+    operator, so the state IS the sketch — bounded at D*W counters
+    regardless of key cardinality, no watermark needed), per-micro-batch
+    deltas committed exactly-once through the epoch sink, folded back
+    (latest epoch per counter wins — counts are cumulative), then the
+    per-key MIN-probe estimate joins against the batch key table.
+    Oracle: the batch conv_turns_cms SQL — streamed sketch == batch
+    sketch == DuckDB, value-exact."""
+    from stellar_etl_spark.functions.sketch import (
+        CMS_D,
+        _cms_bucket,
+        _cms_hmod,
+        cms_counters,
+    )
+
+    src_dir = _slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_cms_")
+    sink = EpochCommitSink(os.path.join(work, "sink"))
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    ).filter(F.col("conv_id") != CLOSER_CONV)
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        sink.write_epoch(
+            epoch_id,
+            {CMS_TABLE: batch_df.withColumn("epoch_id", F.lit(epoch_id))},
+        )
+
+    with _drain_conf(spark):
+        q = (
+            cms_counters(stream, "conv_id")
+            .writeStream.queryName("parity_cms")
+            .outputMode("update")
+            .foreachBatch(_write)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    deltas = sink.read_table(spark, CMS_TABLE)
+    counters = deltas.groupBy("d", "bucket").agg(
+        F.max_by("c", F.col("epoch_id")).alias("c")
+    )
+    hmod = _cms_hmod("conv_id", spark=True)
+    keys = (
+        load_transcripts(spark, sf_dir)
+        .select(F.col("conv_id"), F.expr(hmod).alias("hmod"))
+        .groupBy("conv_id", "hmod")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    probes = keys.select(
+        "conv_id",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.expr(_cms_bucket(d, "hmod")).cast("int").alias("bucket"),
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("r"),
+    ).select("conv_id", "exact_count", "r.d", "r.bucket")
+    return (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("conv_id", "exact_count")
+        .agg(F.min("c").cast("long").alias("est_count"))
+        .select(
+            "conv_id",
+            "est_count",
+            "exact_count",
+            F.round(
+                (F.col("est_count") - F.col("exact_count")).cast("double")
+                / F.col("exact_count"),
+                6,
+            ).alias("rel_overcount"),
+        )
+    )
