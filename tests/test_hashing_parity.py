@@ -182,3 +182,53 @@ def test_dot_and_norm_folds(spark):
     for i, d, n in con.execute(f"SELECT i, {dp}, {nm} FROM v").fetchall():
         assert got[i][0] == d, f"dot_fold row {i}"  # bit-exact, same fold order
         assert got[i][1] == n, f"norm_fold row {i}"
+
+
+def test_cms_buckets(frames):
+    """CMS row-hash buckets agree across dialects for every depth (the
+    sketch oracle rests on this affine arithmetic)."""
+    from stellar_etl_spark.functions import sketch as SK
+
+    sdf, con = frames
+    for d in range(SK.CMS_D):
+        _run(
+            sdf, con,
+            SK._cms_bucket(d, SK._cms_hmod("text", True)),
+            SK._cms_bucket(d, SK._cms_hmod("text", False)),
+            f"cms_bucket_{d}",
+        )
+
+
+def test_bloom_positions(frames):
+    """Bloom set-bit positions: the JVM build expression equals the
+    numpy probe arithmetic on adversarial gram values (both reduce an
+    int64 gram < P through the same affine map)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stellar_etl_spark.functions import trainprep as ftp
+    from stellar_etl_spark.functions.hashing import P
+
+    sdf, con = frames
+    # gram stand-ins: the char hash of each text (same < P domain)
+    from stellar_etl_spark.functions.hashing import char_hash
+
+    g_spark = char_hash("text", True)
+    rows = sdf.select(
+        "i",
+        F.expr(g_spark).alias("g"),
+        *[
+            F.expr(
+                f"pmod(({ftp.BLOOM_A[j]}L * ({g_spark}) + {ftp.BLOOM_B[j]}L) "
+                f"% {P}L, {ftp.BLOOM_BITS}L)"
+            ).alias(f"p{j}")
+            for j in range(ftp.BLOOM_K)
+        ],
+    ).collect()
+    a = np.array(ftp.BLOOM_A, dtype=np.int64)
+    b = np.array(ftp.BLOOM_B, dtype=np.int64)
+    for r in rows:
+        g = np.int64(r["g"])
+        want = ((a * g + b) % P) % ftp.BLOOM_BITS
+        got = np.array([r[f"p{j}"] for j in range(ftp.BLOOM_K)], dtype=np.int64)
+        assert (want == got).all(), f"row {r['i']}: {want} != {got}"
