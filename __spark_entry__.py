@@ -410,6 +410,15 @@ def _q_latency_quantiles_streamed(spark, sf):
     return parity.streamed_latency_quantiles(spark, sf, CFG)
 
 
+def _q_tool_transitions_streamed(spark, sf):
+    """CEP adjacency detection as a stream: per-conv last-tool state
+    emits bigrams across micro-batch boundaries; SUM-merged partials;
+    oracle = the batch tool_transitions SQL."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_tool_transitions(spark, sf)
+
+
 def _q_dedup_exact_streamed(spark, sf):
     """T1 as a REAL streaming stateful aggregation: per-fingerprint
     (min doc_id, count) state over the doc_id-sliced corpus stream,
@@ -456,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_streamed": _q_dedup_exact_streamed,
         "tool_rate_5m_sliding_streamed": _q_tool_rate_5m_sliding_streamed,
         "latency_quantiles_streamed": _q_latency_quantiles_streamed,
+        "tool_transitions_streamed": _q_tool_transitions_streamed,
         # training-data pipeline ops (documents/embeddings)
         "doc_stats": _q_doc_stats,
         "doc_lang_id": _q_doc_lang_id,
@@ -595,6 +605,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": fcur.doc_repetition_oracle(fcorpus.CORPUS_CTE),
         "conv_retention": _W + journeys.RETENTION_ORACLE_SQL,
         "tool_transitions": _W + journeys.TRANSITIONS_ORACLE_SQL,
+        # cross-batch bigram reconstruction folds to the batch counts
+        "tool_transitions_streamed": _W + journeys.TRANSITIONS_ORACLE_SQL,
         "conv_documents": _W + journeys.CONV_DOCUMENTS_ORACLE_SQL,
         "conv_doc_dedup": _W + journeys.conv_doc_dedup_oracle_sql(),
         "decontaminate": ftp.decontaminate_oracle(fcorpus.CORPUS_CTE),

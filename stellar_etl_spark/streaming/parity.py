@@ -777,3 +777,59 @@ def streamed_conv_turns_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_overcount"),
         )
     )
+
+
+TRANS_TABLE = "transitions"
+
+
+def streamed_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CEP transition detector (streaming/transitions.py) drained
+    over the sliced driver input: per-conversation last-tool state
+    emits each (prev -> tool) bigram as it arrives; bigrams reduce per
+    micro-batch to mergeable SUM partials through the epoch sink.
+    Oracle: the batch tool_transitions SQL — the cross-batch pattern
+    context (a bigram whose two turns land in different micro-batches)
+    must reconstruct exactly."""
+    from stellar_etl_spark.deploy import ship_package
+    from stellar_etl_spark.streaming.transitions import (
+        START,
+        tool_transitions_stream,
+    )
+
+    ship_package(spark)
+    src_dir = _slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_trans_")
+    sink = EpochCommitSink(os.path.join(work, "sink"))
+    stream = (
+        read_transcript_stream(
+            spark, src_dir, max_files_per_trigger=2, with_lineage=False
+        )
+        .filter(F.col("conv_id") != CLOSER_CONV)
+        .filter(F.col("tool").isNotNull())
+    )
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = (
+            batch_df.groupBy("prev_tool", "tool")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("epoch_id", F.lit(epoch_id))
+        )
+        sink.write_epoch(epoch_id, {TRANS_TABLE: partial})
+
+    with _drain_conf(spark):
+        q = (
+            tool_transitions_stream(stream)
+            .writeStream.queryName("parity_trans")
+            .outputMode("append")
+            .foreachBatch(_write)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return (
+        sink.read_table(spark, TRANS_TABLE)
+        .groupBy("prev_tool", "tool")
+        .agg(F.sum("n").cast("long").alias("n_transitions"))
+    )
