@@ -220,6 +220,10 @@ def _q_ann_brute(spark, sf):
     return fsim.ann_bruteforce(fcorpus.load_embeddings(spark, sf))
 
 
+def _q_ann_sq8(spark, sf):
+    return fsim.ann_sq8(fcorpus.load_embeddings(spark, sf))
+
+
 def _q_ann_lsh(spark, sf):
     return fsim.ann_lsh(fcorpus.load_embeddings(spark, sf))
 
@@ -483,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": _q_dup_clusters,
         "dedup_resolve": _q_dedup_resolve,
         "ann_topk_brute": _q_ann_brute,
+        "ann_topk_sq8": _q_ann_sq8,
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "corpus_sample": _q_corpus_sample,
@@ -594,6 +599,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": fdedup.dup_clusters_oracle(fcorpus.CORPUS_CTE),
         "dedup_resolve": fdedup.dedup_resolve_oracle(fcorpus.CORPUS_CTE),
         "ann_topk_brute": fsim.ann_bruteforce_oracle(fcorpus.EMB_CTE),
+        "ann_topk_sq8": fsim.ann_sq8_oracle(fcorpus.EMB_CTE),
         "ann_topk_lsh": fsim.ann_lsh_oracle(fcorpus.EMB_CTE),
         "ann_topk_ivf": fsim.ann_ivf_oracle(fcorpus.EMB_CTE),
         "corpus_sample": fcur.stratified_sample_oracle(fcorpus.CORPUS_CTE),

@@ -419,3 +419,26 @@ def test_decontaminate_bloom_equals_exact_and_prunes(spark):
     # FP rate among non-members stays tiny at this fill factor
     non_members = len(body_grams) - truly
     assert (passed - truly) <= max(10, int(0.01 * non_members))
+
+
+def test_ann_sq8_recall_vs_exact(spark):
+    """int8 quantization must preserve neighbor quality: mean top-k
+    overlap with the full-precision brute-force ranking stays high
+    (the serving-path contract for the 4x memory trade)."""
+    from conftest import SF_UNIT
+    from stellar_etl_spark.functions import corpus as fcorpus
+    from stellar_etl_spark.functions import similarity as fsim
+
+    emb = fcorpus.load_embeddings(spark, SF_UNIT)
+    exact = fsim.ann_bruteforce(emb, k=10).collect()
+    sq8 = fsim.ann_sq8(emb, k=10).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in sq8:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert ex.keys() == got.keys() and len(ex) > 0
+    overlaps = [len(ex[q] & got[q]) / len(ex[q]) for q in ex]
+    mean = sum(overlaps) / len(overlaps)
+    assert mean >= 0.7, f"mean top-10 overlap {mean:.2f} < 0.7 ({overlaps})"
