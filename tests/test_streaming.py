@@ -486,3 +486,59 @@ def test_tws_matcher_parity(spark, data_dir, tmp_path):
     batch_matched = _rows(batch.filter(~F.col("evicted_unmatched")), cols)
     assert got_matched == batch_matched
     assert len(got_matched) > 100
+
+
+def test_transitions_resume_preserves_pattern_state(spark, data_dir, tmp_path):
+    """Kill the CEP transition stream mid-input, resume from the same
+    checkpoint: the per-conversation last-tool ValueState survives the
+    restart (state + offsets checkpoint together), so bigrams whose two
+    turns straddle the kill point reconstruct, epoch replay is absorbed
+    by the sink's idempotent commit, and the SUM-fold equals the batch
+    tool_transitions counts exactly."""
+    import time
+
+    from stellar_etl_spark.operators.journeys import tool_transitions
+    from stellar_etl_spark.streaming.transitions import tool_transitions_stream
+
+    sink_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sink = EpochCommitSink(sink_root)
+
+    def writer(bdf, eid):
+        partial = (
+            bdf.groupBy("prev_tool", "tool")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .withColumn("epoch_id", F.lit(eid))
+        )
+        sink.write_epoch(eid, {"transitions": partial})
+
+    def stream():
+        s = read_transcript_stream(spark, data_dir, max_files_per_trigger=1,
+                                   with_lineage=False)
+        return tool_transitions_stream(s.filter(F.col("tool").isNotNull()))
+
+    q1 = (
+        stream().writeStream.queryName("trans_p1").outputMode("append")
+        .foreachBatch(writer).option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 second").start()
+    )
+    while len(EpochCommitSink(sink_root).committed_epochs()) < 2:
+        time.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(60)
+    assert len(EpochCommitSink(sink_root).committed_epochs()) >= 2
+
+    q2 = (
+        stream().writeStream.queryName("trans_p2").outputMode("append")
+        .foreachBatch(writer).option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    assert q2.awaitTermination(540), "resumed transition stream did not finish"
+
+    got = (
+        sink.read_table(spark, "transitions")
+        .groupBy("prev_tool", "tool")
+        .agg(F.sum("n").cast("long").alias("n_transitions"))
+    )
+    exp = tool_transitions(read_transcript_batch(spark, data_dir))
+    assert _rows(got) == _rows(exp)
