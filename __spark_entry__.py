@@ -164,7 +164,9 @@ def _q_doc_fingerprint(spark, sf):
 
 
 def _q_redact_pii(spark, sf):
-    return ftext.redact_pii(_C(spark, sf))
+    # inject_synthetic_pii is the benchmark fixture (the raw synthetic
+    # corpus contains no PII); redact_pii itself is the pure scrub
+    return ftext.redact_pii(ftext.inject_synthetic_pii(_C(spark, sf)))
 
 
 def _q_tool_conv_hll(spark, sf):
@@ -296,6 +298,17 @@ def _q_multimodal_meta(spark, sf):
     return fmm.decode_metadata(_C(spark, sf), decoder=CFG.multimodal_decoder)
 
 
+# a config carrying a NON-default decoder: the pluggable-struct path
+# (EngineConfig.multimodal_decoder -> decode_metadata) gated by value —
+# if the hook were ignored, the default stub's numbers would come out
+# and the oracle (alt arithmetic) would hash-mismatch.
+ALT_CFG = EngineConfig(multimodal_decoder=fmm.alt_decode_batch)
+
+
+def _q_multimodal_meta_alt(spark, sf):
+    return fmm.decode_metadata(_C(spark, sf), decoder=ALT_CFG.multimodal_decoder)
+
+
 def _q_multimodal_frames(spark, sf):
     return fmm.frame_sample(_C(spark, sf))
 
@@ -376,6 +389,18 @@ def _q_snapshot_streamed(spark, sf):
     return parity.streamed_snapshot(spark, sf)
 
 
+def _q_snapshot_ttl_streamed(spark, sf):
+    """The KEY-RETIRING snapshot stream (applyInPandasWithState +
+    EventTimeTimeout tombstones — state bounded by keys active within
+    the TTL window, closing the reference's unbounded-seen-map
+    anti-pattern, orderbooks.go:26-33) drained and folded; oracle = the
+    batch compaction restricted to keys active within the 48h window
+    (ms-exact boundary, streaming/parity.SNAPSHOT_TTL_S)."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_snapshot_ttl(spark, sf)
+
+
 def _q_sessions_streamed(spark, sf):
     """ST5 behind the exact value oracle: the REAL streaming
     session_window aggregation (watermark-finalized, append mode)
@@ -434,60 +459,18 @@ def _q_dedup_exact_streamed(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry ORDER = evidence rotation policy. The driver's
+    CORRECTNESS artifact gates the FIRST 50 entries per round, so
+    entries are ordered by evidence need: (1) queries without a green
+    driver row in the latest artifact (the 19 added/displaced in round
+    3 — never or no longer driver-gated), (2) queries NEW or MODIFIED
+    this round, (3) the streaming-stack parity family (the engine's
+    core claims, re-gated every round), (4) flagship batch operators.
+    The tail beyond position 50 holds only long-stable queries whose
+    green rows exist in a prior round's CORRECTNESS_r*.json (all 50
+    r03 entries were fully green); see README "evidence rotation"."""
     return {
-        "turns_enriched": _q_turns_enriched,
-        "sessions": _q_sessions,
-        "tool_rate_1m": _q_tool_rate_1m,
-        "role_rate_1m": _q_role_rate_1m,
-        "tool_rate_5m_sliding": _q_tool_rate_5m_sliding,
-        "turn_pairs": _q_turn_pairs,
-        "compact_last_state": _q_compact_last_state,
-        "asof_last_tool": _q_asof_last_tool,
-        "initiating_user": _q_initiating_user,
-        "dim_tools": _q_dim_tools,
-        "explode_tokens": _q_explode_tokens,
-        "top_convs": _q_top_convs,
-        "turn_range_from_times": _q_turn_range_from_times,
-        "transform_stats": _q_transform_stats,
-        "salted_tool_rate": _q_salted_tool_rate,
-        "fact_tool_events": _q_fact_tool_events,
-        "tool_sequences": _q_tool_sequences,
-        "derived_events": _q_derived_events,
-        "tool_event_details": _q_tool_event_details,
-        "successful_tool_calls": _q_successful_tool_calls,
-        "exchanges": _q_exchanges,
-        "conv_participants": _q_conv_participants,
-        "state_conv_tools": _q_state_conv_tools,
-        "state_intervals": _q_state_intervals,
-        "closed_sessions": _q_closed_sessions,
-        # streaming-stack parity: the streaming engine itself behind the
-        # exact value oracles (stream==batch, driver-gated)
-        "turn_pairs_streamed": _q_turn_pairs_streamed,
-        "snapshot_streamed": _q_snapshot_streamed,
-        "sessions_streamed": _q_sessions_streamed,
-        "tool_rate_1m_streamed": _q_tool_rate_1m_streamed,
-        "dedup_exact_streamed": _q_dedup_exact_streamed,
-        "tool_rate_5m_sliding_streamed": _q_tool_rate_5m_sliding_streamed,
-        "latency_quantiles_streamed": _q_latency_quantiles_streamed,
-        "tool_transitions_streamed": _q_tool_transitions_streamed,
-        # training-data pipeline ops (documents/embeddings)
-        "doc_stats": _q_doc_stats,
-        "doc_lang_id": _q_doc_lang_id,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "redact_pii": _q_redact_pii,
-        "tool_conv_hll": _q_tool_conv_hll,
-        "conv_turns_cms": _q_conv_turns_cms,
-        "conv_turns_cms_streamed": _q_conv_turns_cms_streamed,
-        "tool_conv_hll_streamed": _q_tool_conv_hll_streamed,
-        "dedup_exact": _q_dedup_exact,
-        "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram,
-        "dedup_embedding": _q_dedup_embedding,
-        "dup_clusters": _q_dup_clusters,
-        "dedup_resolve": _q_dedup_resolve,
-        "ann_topk_brute": _q_ann_brute,
-        "ann_topk_sq8": _q_ann_sq8,
+        # (1) no green driver row in CORRECTNESS_r03.json — gate first
         "ann_topk_lsh": _q_ann_lsh,
         "ann_topk_ivf": _q_ann_ivf,
         "corpus_sample": _q_corpus_sample,
@@ -507,6 +490,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _q_kmeans_assign,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_frames": _q_multimodal_frames,
+        # (2) new or modified in round 4
+        "snapshot_ttl_streamed": _q_snapshot_ttl_streamed,
+        "multimodal_meta_alt": _q_multimodal_meta_alt,
+        "redact_pii": _q_redact_pii,
+        # (3) streaming-stack parity: the streaming engine itself behind
+        # the exact value oracles (stream==batch, re-gated every round)
+        "turn_pairs_streamed": _q_turn_pairs_streamed,
+        "snapshot_streamed": _q_snapshot_streamed,
+        "sessions_streamed": _q_sessions_streamed,
+        "tool_rate_1m_streamed": _q_tool_rate_1m_streamed,
+        "dedup_exact_streamed": _q_dedup_exact_streamed,
+        "tool_rate_5m_sliding_streamed": _q_tool_rate_5m_sliding_streamed,
+        "latency_quantiles_streamed": _q_latency_quantiles_streamed,
+        "tool_transitions_streamed": _q_tool_transitions_streamed,
+        "conv_turns_cms_streamed": _q_conv_turns_cms_streamed,
+        "tool_conv_hll_streamed": _q_tool_conv_hll_streamed,
+        # (4) flagship batch operators
+        "turns_enriched": _q_turns_enriched,
+        "sessions": _q_sessions,
+        "closed_sessions": _q_closed_sessions,
+        "turn_pairs": _q_turn_pairs,
+        "tool_rate_1m": _q_tool_rate_1m,
+        "role_rate_1m": _q_role_rate_1m,
+        "tool_rate_5m_sliding": _q_tool_rate_5m_sliding,
+        "compact_last_state": _q_compact_last_state,
+        "asof_last_tool": _q_asof_last_tool,
+        "exchanges": _q_exchanges,
+        "state_intervals": _q_state_intervals,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dedup_embedding": _q_dedup_embedding,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_resolve": _q_dedup_resolve,
+        # ---- position 50 boundary: entries below have green rows in
+        # CORRECTNESS_r03.json (pytest re-verifies all of them each run)
+        "initiating_user": _q_initiating_user,
+        "dim_tools": _q_dim_tools,
+        "explode_tokens": _q_explode_tokens,
+        "top_convs": _q_top_convs,
+        "turn_range_from_times": _q_turn_range_from_times,
+        "transform_stats": _q_transform_stats,
+        "salted_tool_rate": _q_salted_tool_rate,
+        "fact_tool_events": _q_fact_tool_events,
+        "tool_sequences": _q_tool_sequences,
+        "derived_events": _q_derived_events,
+        "tool_event_details": _q_tool_event_details,
+        "successful_tool_calls": _q_successful_tool_calls,
+        "conv_participants": _q_conv_participants,
+        "state_conv_tools": _q_state_conv_tools,
+        "doc_stats": _q_doc_stats,
+        "doc_lang_id": _q_doc_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "tool_conv_hll": _q_tool_conv_hll,
+        "conv_turns_cms": _q_conv_turns_cms,
+        "ann_topk_brute": _q_ann_brute,
+        "ann_topk_sq8": _q_ann_sq8,
     }
 
 
@@ -575,6 +616,8 @@ def oracle_sql() -> dict[str, str]:
         "state_intervals": _W + state.STATE_INTERVALS_ORACLE_SQL,
         "turn_pairs_streamed": _W + pairs.PAIRS_ORACLE_SQL,
         "snapshot_streamed": _W + state.COMPACT_ORACLE_SQL,
+        "snapshot_ttl_streamed": _W + state.COMPACT_ORACLE_SQL
+        + _snapshot_ttl_having(),
         "sessions_streamed": _W + sessions.session_oracle_sql("INTERVAL 8 HOUR"),
         "tool_rate_1m_streamed": _W
         + rollups.rate_oracle_sql("tool", 1, "WHERE tool IS NOT NULL"),
@@ -623,5 +666,12 @@ def oracle_sql() -> dict[str, str]:
         "lang_centroids": ftp.lang_centroids_oracle(fcorpus.EMB_CTE),
         "kmeans_assign": ftp.kmeans_assign_oracle(fcorpus.EMB_CTE),
         "multimodal_meta": fmm.decode_metadata_oracle(fcorpus.CORPUS_CTE),
+        "multimodal_meta_alt": fmm.alt_decode_oracle(fcorpus.CORPUS_CTE),
         "multimodal_frames": fmm.frame_sample_oracle(fcorpus.CORPUS_CTE),
     }
+
+
+def _snapshot_ttl_having() -> str:
+    from stellar_etl_spark.streaming.parity import snapshot_ttl_oracle_having
+
+    return snapshot_ttl_oracle_having()

@@ -20,6 +20,17 @@ rep 1, ...) so a host-noise burst degrades one rep of many queries
 instead of all reps of one — this sandbox is a bursty shared box and
 single-shot numbers proved untrustworthy (round-2 verdict §perf). The
 JSON carries the medians plus per-query min/max spread.
+
+Round-over-round comparability (round-3 verdict §wrong-3): the summed
+total conflates suite growth with speed, so the JSON also carries a
+``headline_30`` block — the FIXED round-1 query set, whose total and
+turns/sec are comparable across every round regardless of how many
+queries the registry gains — and a ``families`` batch/streamed split
+(streamed drains pay per-trigger state-store commits; mixing them into
+one number hides batch regressions). All per-rep raw times are included
+(``query_reps``) so a noisy-median claim is auditable, and the complete
+JSON is also written to ``BENCH_LOCAL.json`` next to this script so the
+record doesn't depend on the driver's truncated stdout tail capture.
 """
 
 from __future__ import annotations
@@ -30,6 +41,36 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The round-1 query set: the fixed headline basket every round reports,
+# immune to suite growth (round-3's summed total fell 40% across rounds
+# while the engine got faster, purely because the suite grew).
+HEADLINE_30 = [
+    "ann_topk_brute", "ann_topk_lsh", "asof_last_tool",
+    "compact_last_state", "dedup_embedding", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "derived_events", "dim_tools", "doc_fingerprint", "doc_lang_id",
+    "doc_stats", "explode_tokens", "fact_tool_events", "initiating_user",
+    "multimodal_frames", "multimodal_meta", "role_rate_1m",
+    "salted_tool_rate", "sessions", "tool_rate_1m",
+    "tool_rate_5m_sliding", "tool_sequences", "top_convs",
+    "transform_stats", "turn_pairs", "turn_range_from_times",
+    "turns_enriched",
+]
+
+
+def _tws_status() -> str:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return "available"
+    except ImportError:
+        return (
+            "SKIPPED(env): transformWithState needs the protobuf runtime "
+            "(TWS state-server protocol); this environment does not ship "
+            "it — tests/test_streaming.py::test_tws_matcher_parity "
+            "importorskips and runs on any real Spark 4 cluster"
+        )
 
 
 def build_spark(cpus: int):
@@ -86,22 +127,51 @@ def main() -> None:
         name: [round(min(xs), 3), round(max(xs), 3)] for name, xs in raw.items()
     }
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "query_spread_min_max": spread,
-                "reps_per_query": reps,
-                "sf": sf_dir,
-                "n_input_turns": n_turns,
-                "turns_per_sec": round(n_turns * len(timings) / total, 1) if total else None,
-                "cpus": cpus,
-            }
-        )
+
+    headline = {n: timings[n] for n in HEADLINE_30 if n in timings}
+    headline_total = round(sum(headline.values()), 3)
+    streamed = {n: t for n, t in timings.items() if n.endswith("_streamed")}
+    batch = {n: t for n, t in timings.items() if not n.endswith("_streamed")}
+    result = {
+        # headline: the fixed 30-query basket, round-over-round comparable
+        "metric": "headline_30_wall_sec",
+        "value": headline_total,
+        "unit": "sec",
+        "headline_30": {
+            "total_sec": headline_total,
+            "n_queries": len(headline),
+            "turns_per_sec": round(n_turns * len(headline) / headline_total, 1)
+            if headline_total
+            else None,
+        },
+        "families": {
+            "batch": {"n": len(batch), "total_sec": round(sum(batch.values()), 3)},
+            "streamed": {
+                "n": len(streamed),
+                "total_sec": round(sum(streamed.values()), 3),
+            },
+        },
+        "total_wall_sec_all_queries": total,
+        "queries": timings,
+        "query_spread_min_max": spread,
+        "query_reps": {n: [round(x, 3) for x in xs] for n, xs in raw.items()},
+        "reps_per_query": reps,
+        "sf": sf_dir,
+        "n_input_turns": n_turns,
+        "turns_per_sec": round(n_turns * len(timings) / total, 1) if total else None,
+        "cpus": cpus,
+        # machine-readable env-skip record: the transformWithState form
+        # of the J1 matcher (streaming/matcher_tws.py) needs the
+        # protobuf runtime for the TWS state-server protocol; where
+        # absent, its parity test importorskips rather than fails
+        "tws_matcher": _tws_status(),
+    }
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
     spark.stop()
 
 

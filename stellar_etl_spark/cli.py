@@ -66,7 +66,32 @@ def _tables(cfg: EngineConfig):
         "conv_participants": dims.conv_participants,
         "conv_retention": journeys.conv_retention,
         "tool_transitions": journeys.tool_transitions,
+        "conv_documents": journeys.conv_documents,
+        "conv_doc_dedup": journeys.conv_doc_dedup,
         "tool_conv_hll": _tool_conv_hll_table,
+    }
+
+
+def _doc_tables():
+    """Document-corpus exporters (CLI parity for the curation/trainprep
+    family — the reference's one-export-command-per-table surface,
+    /root/reference/cmd/export_ledger_entry_changes.go:90-109, extended
+    to the training-data tables). ``--input`` for these commands is a
+    parquet dir/file of documents (doc_id, text, lang, source), not
+    transcripts. Batch-only: each is a whole-corpus pass (sampling
+    quotas, df caps, bloom build) whose per-micro-batch form would
+    silently change semantics."""
+    from stellar_etl_spark.functions import curation as fcur
+    from stellar_etl_spark.functions import trainprep as ftp
+
+    return {
+        "quality_funnel": fcur.quality_funnel,
+        "corpus_sample": fcur.stratified_sample,
+        "doc_top_terms": fcur.doc_top_terms,
+        "doc_repetition": fcur.doc_repetition,
+        "decontaminate": ftp.decontaminate,
+        "pack_sequences": ftp.pack_sequences,
+        "boilerplate_spans": ftp.boilerplate_spans,
     }
 
 
@@ -129,7 +154,11 @@ def build_parser() -> argparse.ArgumentParser:
     for name in list(_tables(cfg0)) + ["all"]:
         sp = sub.add_parser(f"export-{name.replace('_', '-')}")
         common(sp)
-        sp.set_defaults(table=name)
+        sp.set_defaults(table=name, doc_table=False)
+    for name in _doc_tables():
+        sp = sub.add_parser(f"export-{name.replace('_', '-')}")
+        common(sp)
+        sp.set_defaults(table=name, doc_table=True)
     return p
 
 
@@ -157,6 +186,35 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             df = df.withColumn(k, F.lit(v))
         return df
 
+    if getattr(args, "doc_table", False):
+        if args.stream:
+            raise SystemExit(f"--stream not supported for {args.table} "
+                             "(whole-corpus pass; run it in batch mode)")
+        if args.start_ts or args.end_ts:
+            raise SystemExit("--start-ts/--end-ts apply to transcript "
+                             "exports; document tables have no event time")
+        own = spark is None
+        if own:
+            from stellar_etl_spark.session import get_spark
+
+            spark = get_spark(EngineConfig(master=args.master),
+                              app_name="stellar-etl-spark-cli")
+        from stellar_etl_spark.deploy import ship_package
+
+        ship_package(spark)
+        try:
+            docs = spark.read.parquet(args.input)
+            if args.limit and args.limit > 0:
+                docs = docs.orderBy("doc_id").limit(args.limit)
+            fn = _doc_tables()[args.table]
+            _with_extras(fn(docs)).write.mode("overwrite").format(
+                args.format
+            ).save(f"{args.out}/{args.table}")
+            return 0
+        finally:
+            if own:
+                spark.stop()
+
     tables = {n: (lambda fn: (lambda df: _with_extras(fn(df))))(f)
               for n, f in _tables(cfg).items()}
     selected = tables if args.table == "all" else {args.table: tables[args.table]}
@@ -164,7 +222,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # global (non-incremental) aggregates: running them per micro-batch
     # in the fan-out would silently change their semantics to per-batch,
     # so stream mode rejects (explicit table) or skips (export-all) them
-    batch_only = {"latency_quantiles", "conv_retention", "tool_transitions"}
+    batch_only = {"latency_quantiles", "conv_retention", "tool_transitions",
+                  "conv_documents", "conv_doc_dedup"}
     if args.stream:
         if args.table in batch_only:
             raise SystemExit(f"--stream not supported for {args.table} "

@@ -81,6 +81,70 @@ def _fake_decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+ALT_FRAME_BYTES = 128  # the alt decoder's fake frame size
+ALT_SUM_MOD = 99991
+
+
+def alt_decode_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """A second deterministic decoder with DIFFERENT arithmetic than
+    the default stub — exists to exercise the pluggable-decoder path
+    (EngineConfig.multimodal_decoder) by VALUE: a driver query wired
+    through the config must produce these numbers, not the default
+    stub's, or the plumbing silently ignores the hook.
+
+    width = 8 + (last byte % 96); height = 8 + (first byte % 96)
+    n_frames = ceil(n_bytes / ALT_FRAME_BYTES)
+    byte_sum_mod = (31 * sum(bytes) + n_bytes) % ALT_SUM_MOD
+    """
+    import hashlib
+
+    payloads = batch["payload"]
+    n_bytes = payloads.map(len)
+    return pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bytes": n_bytes.astype("int64"),
+            "sha256_hex": payloads.map(lambda b: hashlib.sha256(bytes(b)).hexdigest()),
+            "width": payloads.map(
+                lambda b: 8 + (b[-1] % 96) if len(b) > 0 else None
+            ).astype("Int64"),
+            "height": payloads.map(
+                lambda b: 8 + (b[0] % 96) if len(b) > 0 else None
+            ).astype("Int64"),
+            "n_frames": (
+                (n_bytes + ALT_FRAME_BYTES - 1) // ALT_FRAME_BYTES
+            ).astype("int64"),
+            "byte_sum_mod": payloads.map(
+                lambda b: (31 * sum(bytes(b)) + len(b)) % ALT_SUM_MOD
+            ).astype("int64"),
+        }
+    )
+
+
+def alt_decode_oracle(corpus_cte: str) -> str:
+    """Exact SQL mirror of alt_decode_batch (ASCII text: byte ==
+    codepoint)."""
+    byte_sum = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(list_filter(string_split_regex(text, ''), c -> c <> ''), "
+        "c -> CAST(unicode(c) AS BIGINT))), (a, c) -> a + c)"
+    )
+    return f"""WITH {corpus_cte}
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256_hex,
+       CASE WHEN length(text) > 0
+            THEN 8 + (unicode(substr(text, length(text), 1)) % 96) END AS width,
+       CASE WHEN length(text) > 0
+            THEN 8 + (unicode(substr(text, 1, 1)) % 96) END AS height,
+       CAST((octet_length(encode(text)) + {ALT_FRAME_BYTES - 1}) // {ALT_FRAME_BYTES}
+            AS BIGINT) AS n_frames,
+       CAST((31 * {byte_sum} + octet_length(encode(text))) % {ALT_SUM_MOD} AS BIGINT)
+         AS byte_sum_mod
+FROM corpus
+"""
+
+
 def decode_metadata(docs: DataFrame, decoder=None) -> DataFrame:
     """Binary payload -> typed metadata via Arrow-batched mapInPandas.
 

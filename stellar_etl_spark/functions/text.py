@@ -211,11 +211,25 @@ def _pii_case(spark: bool) -> str:
     )
 
 
+def inject_synthetic_pii(docs: DataFrame) -> DataFrame:
+    """Benchmark/test FIXTURE, not part of the operator: append the
+    deterministic synthetic PII suffix (_pii_case) to each document's
+    text so the scrub below has something to find (the raw synthetic
+    corpus contains none). Production callers never use this — they
+    call redact_pii directly on their own text."""
+    return docs.withColumn(
+        "text", F.concat(F.col("text"), F.expr(_pii_case(spark=True)))
+    )
+
+
 def redact_pii(docs: DataFrame) -> DataFrame:
     """Scrub PII-shaped spans (emails, URLs, >=8-digit number runs)
     from document text, reporting per-doc match counts — the standard
     pre-training scrub pass. Whole-stage-codegen regexes (JVM
-    regexp_replace / regexp_count), zero Python, narrow map.
+    regexp_replace / regexp_count), zero Python, narrow map. Pure: it
+    redacts exactly the text it is given (the synthetic-PII injection
+    lives in the inject_synthetic_pii fixture, composed by the driver
+    query and mirrored in the oracle's CTE).
 
     Reference analog: the per-row string sanitation in the Transform*
     projections (internal/transform/transaction.go:20-301 dispositions
@@ -224,8 +238,7 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     Scale notes: no shuffle; regex evaluation is linear in text bytes
     and runs inside codegen. At 100 TB this is scan-bound; the three
     fixed patterns compile once per task."""
-    injected = F.concat(F.col("text"), F.expr(_pii_case(spark=True)))
-    t0 = injected
+    t0 = F.col("text")
     n_em = F.regexp_count(t0, F.lit(PII_EMAIL_RE))
     t1 = F.regexp_replace(t0, PII_EMAIL_RE, "<EMAIL>")
     n_url = F.regexp_count(t1, F.lit(PII_URL_RE))

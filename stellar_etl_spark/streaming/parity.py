@@ -472,6 +472,72 @@ def streamed_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_final_snapshot(spark, os.path.join(work, "sink"))
 
 
+# TTL for the key-retiring snapshot drain: chosen so the final watermark
+# (max_ts + _SLACK_US + 1s from the closer sentinels, ms-truncated) retires
+# exactly the keys idle for more than 48h of event time before max_ts.
+# All arithmetic is in ms (Spark's watermark/timeout unit), so the
+# survive/retire boundary is exact and SQL-expressible:
+#   survive  <=>  timeout_ms >= final_wm_ms
+#            <=>  floor(last_ts_us/1000) + ttl_s*1000
+#                   >= floor(max_ts_us/1000) + SLACK_ms + 1000
+#            <=>  floor(last_ts_us/1000) >= floor(max_ts_us/1000) - 48h_ms
+SNAPSHOT_TTL_ACTIVE_H = 48
+SNAPSHOT_TTL_S = _SLACK_US // 1_000_000 + SNAPSHOT_TTL_ACTIVE_H * 3600 + 1
+
+
+def streamed_snapshot_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the TTL-retiring snapshot stream (snapshot.snapshot_ttl:
+    applyInPandasWithState + EventTimeTimeout — A7 with session-scoped
+    key eviction, closing the reference's unbounded-seen-map
+    anti-pattern, orderbooks.go:26-33) through the exactly-once epoch
+    sink and fold it. The parity watermark delay guarantees zero
+    mid-stream retirement; the closer sentinels push the final
+    watermark to max_ts + slack, firing the EventTimeTimeout tombstone
+    for every key idle > 48h before max_ts. Oracle: the batch
+    compaction restricted to keys active within the 48h window
+    (ms-exact boundary, see SNAPSHOT_TTL_S)."""
+    from stellar_etl_spark.deploy import ship_package
+    from stellar_etl_spark.streaming.snapshot import (
+        read_final_snapshot,
+        start_snapshot_stream,
+    )
+
+    ship_package(spark)
+    src_dir = _slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_snap_ttl_")
+    # no pre-filter: the sentinels must reach the watermark collector
+    # (a conv_id filter would be pushed below EventTimeWatermark and the
+    # timers would never fire); the closer key itself never retires and
+    # is dropped at fold time.
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    )
+    parity_cfg = EngineConfig(watermark_delay=PARITY_DELAY)
+    with _drain_conf(spark):
+        q = start_snapshot_stream(
+            stream,
+            os.path.join(work, "sink"),
+            os.path.join(work, "ckpt"),
+            cfg=parity_cfg,
+            available_now=True,
+            query_name="parity_snapshot_ttl",
+            ttl_s=SNAPSHOT_TTL_S,
+        )
+        q.awaitTermination()
+    return read_final_snapshot(spark, os.path.join(work, "sink")).filter(
+        F.col("conv_id") != CLOSER_CONV
+    )
+
+
+def snapshot_ttl_oracle_having() -> str:
+    """HAVING clause mirroring the ms-exact retirement boundary."""
+    ms = SNAPSHOT_TTL_ACTIVE_H * 3600 * 1000
+    return (
+        f" HAVING epoch_us(MAX(ts)) // 1000 >= "
+        f"(SELECT epoch_us(MAX(ts)) // 1000 FROM transcripts) - {ms}"
+    )
+
+
 # --- streamed HLL sketch -----------------------------------------------------
 
 HLL_TABLE = "hll_regs"

@@ -207,6 +207,72 @@ def test_jsonl_roundtrip_source(spark, small_input, tmp_path):
     assert got == want
 
 
+DOCS_PARQUET = "/root/testdata/sf0.001/documents.parquet"
+
+
+def test_cli_doc_table_exports(spark, tmp_path):
+    """Round-3 curation/trainprep tables are exportable via the CLI
+    (one-export-command-per-table parity, the reference's
+    cmd/export_ledger_entry_changes.go:90-109 surface): --input is a
+    documents parquet, output equals the operator on the same input."""
+    from stellar_etl_spark.functions.curation import quality_funnel
+
+    out = str(tmp_path / "out")
+    for cmd, table in [
+        ("export-quality-funnel", "quality_funnel"),
+        ("export-corpus-sample", "corpus_sample"),
+        ("export-doc-top-terms", "doc_top_terms"),
+        ("export-doc-repetition", "doc_repetition"),
+        ("export-decontaminate", "decontaminate"),
+        ("export-pack-sequences", "pack_sequences"),
+        ("export-boilerplate-spans", "boilerplate_spans"),
+    ]:
+        rc = cli.main(
+            [cmd, "--input", DOCS_PARQUET, "--out", out], spark=spark
+        )
+        assert rc == 0
+        assert spark.read.parquet(f"{out}/{table}").count() > 0
+
+    cols = ["stage_idx", "stage", "docs_in", "docs_dropped", "docs_out"]
+    got = sorted(
+        tuple(r[c] for c in cols)
+        for r in spark.read.parquet(f"{out}/quality_funnel").collect()
+    )
+    want = sorted(
+        tuple(r[c] for c in cols)
+        for r in quality_funnel(spark.read.parquet(DOCS_PARQUET)).collect()
+    )
+    assert got == want
+
+
+def test_cli_doc_table_rejects_stream_and_ts(spark, tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["export-quality-funnel", "--stream", "--input", DOCS_PARQUET,
+             "--out", str(tmp_path / "s"), "--checkpoint", str(tmp_path / "c")],
+            spark=spark,
+        )
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["export-corpus-sample", "--input", DOCS_PARQUET,
+             "--out", str(tmp_path / "s"), "--start-ts", "2026-01-01"],
+            spark=spark,
+        )
+
+
+def test_cli_journeys_tables_export(spark, small_input, tmp_path):
+    """conv_documents/conv_doc_dedup (transcript-side journeys tables)
+    round-trip through the batch CLI."""
+    out = str(tmp_path / "out")
+    for cmd, table in [
+        ("export-conv-documents", "conv_documents"),
+        ("export-conv-doc-dedup", "conv_doc_dedup"),
+    ]:
+        rc = cli.main([cmd, "--input", small_input, "--out", out], spark=spark)
+        assert rc == 0
+        assert spark.read.parquet(f"{out}/{table}").count() > 0
+
+
 def test_cli_stream_rejects_global_aggregates(spark, small_input, tmp_path):
     """Global (non-incremental) aggregate tables are batch-only: an
     explicit --stream export must refuse rather than silently emit

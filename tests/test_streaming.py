@@ -445,47 +445,32 @@ def test_snapshot_fold_survives_compaction(spark, data_dir, tmp_path):
     assert after == before
 
 
-def test_tws_matcher_parity(spark, data_dir, tmp_path):
-    """transformWithState matcher == applyInPandasWithState matcher ==
-    batch matcher on the same input (J1 across both stateful APIs).
-    Skips where the TWS state-server protocol's protobuf runtime is
-    absent (this sandbox); runs unmodified on a real Spark 4 cluster."""
+def test_tws_matcher_parity(spark, tmp_path):
+    """transformWithState matcher == batch matcher on the same input
+    (J1 across both stateful APIs), FULL-row parity — matched rows AND
+    the handleExpiredTimer eviction rows (the round-3 gap: only
+    non-evicted rows were compared, leaving the timer path unchecked).
+    Uses the parity construction (closer sentinels + huge delay,
+    streaming/parity.streamed_turn_pairs_tws) so the final watermark
+    deterministically fires every pending timer, exactly like the
+    driver-gated classic matcher. Skips where the TWS state-server
+    protocol's protobuf runtime is absent (this sandbox); runs
+    unmodified on a real Spark 4 cluster."""
     pytest.importorskip("google.protobuf")
-    from stellar_etl_spark.streaming.matcher_tws import (
-        ROCKSDB_PROVIDER,
-        match_pairs_stream_tws,
-    )
+    from stellar_etl_spark.streaming.parity import streamed_turn_pairs_tws
+    from stellar_etl_spark.sources.transcripts import load_transcripts
+    from tests.conftest import SF_UNIT
 
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prior = spark.conf.get(key, None)
-    spark.conf.set(key, ROCKSDB_PROVIDER)
-    try:
-        stream = read_transcript_stream(spark, data_dir, max_files_per_trigger=2,
-                                        with_lineage=False)
-        q = (
-            match_pairs_stream_tws(stream, CFG)
-            .writeStream.outputMode("append")
-            .format("parquet")
-            .option("path", str(tmp_path / "out"))
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        assert q.awaitTermination(540)
-    finally:
-        if prior is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prior)
-
-    got = spark.read.parquet(str(tmp_path / "out"))
-    batch = batch_pairs.match_pairs(read_transcript_batch(spark, data_dir), CFG)
+    got = streamed_turn_pairs_tws(spark, SF_UNIT)
+    batch = batch_pairs.match_pairs(load_transcripts(spark, SF_UNIT))
     cols = ["conv_id", "user_turn_idx", "response_turn_idx", "response_role",
             "response_tool", "evicted_unmatched"]
-    got_matched = _rows(got.filter(~F.col("evicted_unmatched")), cols)
-    batch_matched = _rows(batch.filter(~F.col("evicted_unmatched")), cols)
-    assert got_matched == batch_matched
-    assert len(got_matched) > 100
+    got_all = _rows(got, cols)
+    assert got_all == _rows(batch, cols)
+    # both paths must be non-trivially exercised
+    n_evicted = sum(1 for r in got_all if r[-1])
+    assert n_evicted > 0, "no eviction rows — timer path not exercised"
+    assert len(got_all) - n_evicted > 100
 
 
 def test_transitions_resume_preserves_pattern_state(spark, data_dir, tmp_path):
