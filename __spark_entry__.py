@@ -210,6 +210,36 @@ def _q_dedup_embedding(spark, sf):
     return fdedup.embedding_dup_pairs(fdedup.load_emb_corpus(spark, sf))
 
 
+def _q_doc_containment(spark, sf):
+    return fdedup.doc_containment(_C(spark, sf))
+
+
+def _q_corpus_split(spark, sf):
+    return fcur.corpus_split(_C(spark, sf))
+
+
+def _q_domain_mix_weights(spark, sf):
+    return fcur.domain_mix_weights(_C(spark, sf))
+
+
+def _q_quality_funnel_streamed(spark, sf):
+    """The funnel's stage-4 seen-map as REAL streaming state (the
+    dedup drain), funnel assembled from the fold; oracle = the batch
+    quality_funnel SQL."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_quality_funnel(spark, sf)
+
+
+def _q_turn_tools_streamed(spark, sf):
+    """Stream-static join evidence: transcript stream x broadcast tool
+    dimension, drained append-mode; oracle = the equivalent batch
+    join SQL."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_turn_tools(spark, sf)
+
+
 def _q_dup_clusters(spark, sf):
     return fdedup.dup_clusters(_C(spark, sf))
 
@@ -494,6 +524,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_ttl_streamed": _q_snapshot_ttl_streamed,
         "multimodal_meta_alt": _q_multimodal_meta_alt,
         "redact_pii": _q_redact_pii,
+        "doc_containment": _q_doc_containment,
+        "corpus_split": _q_corpus_split,
+        "domain_mix_weights": _q_domain_mix_weights,
+        "quality_funnel_streamed": _q_quality_funnel_streamed,
+        "turn_tools_streamed": _q_turn_tools_streamed,
+        "dedup_embedding": _q_dedup_embedding,  # modified: 16 planes + bucket cap
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -518,15 +554,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_tool": _q_asof_last_tool,
         "exchanges": _q_exchanges,
         "state_intervals": _q_state_intervals,
-        "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "dedup_ngram_jaccard": _q_dedup_ngram,
-        "dedup_embedding": _q_dedup_embedding,
-        "dup_clusters": _q_dup_clusters,
-        "dedup_resolve": _q_dedup_resolve,
         # ---- position 50 boundary: entries below have green rows in
         # CORRECTNESS_r03.json (pytest re-verifies all of them each run)
+        "dedup_exact": _q_dedup_exact,
+        "dedup_simhash": _q_dedup_simhash,
+        "dedup_ngram_jaccard": _q_dedup_ngram,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_resolve": _q_dedup_resolve,
         "initiating_user": _q_initiating_user,
         "dim_tools": _q_dim_tools,
         "explode_tokens": _q_explode_tokens,
@@ -639,6 +674,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": fdedup.simhash_oracle(fcorpus.CORPUS_CTE),
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
         "dedup_embedding": fdedup.embedding_dup_oracle(),
+        "doc_containment": fdedup.doc_containment_oracle(fcorpus.CORPUS_CTE),
+        "corpus_split": fcur.corpus_split_oracle(fcorpus.CORPUS_CTE),
+        "domain_mix_weights": fcur.domain_mix_weights_oracle(fcorpus.CORPUS_CTE),
+        # streamed seen-map folds to the same canonical map: same oracle
+        "quality_funnel_streamed": fcur.quality_funnel_oracle(fcorpus.CORPUS_CTE),
+        "turn_tools_streamed": _W + _parity_turn_tools_sql(),
         "dup_clusters": fdedup.dup_clusters_oracle(fcorpus.CORPUS_CTE),
         "dedup_resolve": fdedup.dedup_resolve_oracle(fcorpus.CORPUS_CTE),
         "ann_topk_brute": fsim.ann_bruteforce_oracle(fcorpus.EMB_CTE),
@@ -675,3 +716,9 @@ def _snapshot_ttl_having() -> str:
     from stellar_etl_spark.streaming.parity import snapshot_ttl_oracle_having
 
     return snapshot_ttl_oracle_having()
+
+
+def _parity_turn_tools_sql() -> str:
+    from stellar_etl_spark.streaming.parity import TURN_TOOLS_ORACLE_SQL
+
+    return TURN_TOOLS_ORACLE_SQL

@@ -82,13 +82,17 @@ def _doc_tables():
     quotas, df caps, bloom build) whose per-micro-batch form would
     silently change semantics."""
     from stellar_etl_spark.functions import curation as fcur
+    from stellar_etl_spark.functions import dedup as fdedup
     from stellar_etl_spark.functions import trainprep as ftp
 
     return {
         "quality_funnel": fcur.quality_funnel,
         "corpus_sample": fcur.stratified_sample,
+        "corpus_split": fcur.corpus_split,
+        "domain_mix_weights": fcur.domain_mix_weights,
         "doc_top_terms": fcur.doc_top_terms,
         "doc_repetition": fcur.doc_repetition,
+        "doc_containment": fdedup.doc_containment,
         "decontaminate": ftp.decontaminate,
         "pack_sequences": ftp.pack_sequences,
         "boilerplate_spans": ftp.boilerplate_spans,

@@ -155,7 +155,14 @@ def quality_funnel(docs: DataFrame) -> DataFrame:
     scanned once regardless of stage count."""
     from .dedup import exact_dedup
 
-    keep = exact_dedup(docs).select("doc_id", "keep_doc_id")
+    return funnel_from_keep(docs, exact_dedup(docs).select("doc_id", "keep_doc_id"))
+
+
+def funnel_from_keep(docs: DataFrame, keep: DataFrame) -> DataFrame:
+    """Funnel assembly given an externally-computed (doc_id,
+    keep_doc_id) canonical map — shared by the batch form (exact_dedup)
+    and the streamed form (the dedup state stream's fold,
+    streaming/parity.streamed_quality_funnel)."""
     staged = docs.join(keep, "doc_id").select(
         "doc_id", F.expr(_funnel_first_fail(spark=True)).alias("first_fail")
     )
@@ -379,4 +386,121 @@ ranked AS (
 )
 SELECT doc_id, token, tf, df, tfidf, term_rank
 FROM ranked WHERE term_rank <= {k}
+"""
+
+
+# --- deterministic train/val/test split --------------------------------------
+
+# Permille cut points: [0, 980) train, [980, 990) val, [990, 1000) test.
+SPLIT_TRAIN_PERMILLE = 980
+SPLIT_VAL_PERMILLE = 990
+
+
+def _split_gate_expr(spark: bool) -> str:
+    """Split gate in [0, 1000): polynomial hash of 'doc_id:split'.
+
+    A DIFFERENT salt than the sampling gate (':split' vs ':lang'), so
+    split membership is independent of sample membership — sampling a
+    stratum harder never leaks docs between train and test."""
+    cast = "STRING" if spark else "VARCHAR"
+    key = f"concat(CAST(doc_id AS {cast}), ':split')"
+    return f"({H.char_hash(key, spark)}) % 1000"
+
+
+def corpus_split(docs: DataFrame) -> DataFrame:
+    """Deterministic 98/1/1 train/val/test assignment per document.
+
+    The same hash-threshold contract as stratified_sample: membership
+    is a pure function of doc_id — stable across partitionings, cluster
+    sizes, re-runs, and joinable from any table keyed by doc_id (the
+    property an RNG or row-position split lacks). Raising the val share
+    moves docs train->val monotonically, never reshuffling test.
+
+    Scale notes: narrow per-row map, no shuffle, no RNG state; at
+    100 TB the split column is computed at scan time and pruned joins
+    keep eval-set isolation checks cheap."""
+    gate = F.expr(_split_gate_expr(spark=True))
+    split = (
+        F.when(F.col("split_gate") < SPLIT_TRAIN_PERMILLE, "train")
+        .when(F.col("split_gate") < SPLIT_VAL_PERMILLE, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "lang", gate.cast("long").alias("split_gate"))
+        .withColumn("split", split)
+    )
+
+
+def corpus_split_oracle(corpus_cte: str) -> str:
+    gate = _split_gate_expr(spark=False)
+    return f"""WITH {corpus_cte},
+gated AS (
+  SELECT doc_id, lang, CAST({gate} AS BIGINT) AS split_gate FROM corpus
+)
+SELECT doc_id, lang, split_gate,
+       CASE WHEN split_gate < {SPLIT_TRAIN_PERMILLE} THEN 'train'
+            WHEN split_gate < {SPLIT_VAL_PERMILLE} THEN 'val'
+            ELSE 'test' END AS split
+FROM gated
+"""
+
+
+# --- domain mixture weights ---------------------------------------------------
+
+
+def domain_mix_weights(docs: DataFrame) -> DataFrame:
+    """Per-(lang, source) sampling weights for training-mixture
+    construction: weight ~ sqrt(stratum token count), normalized — the
+    standard alpha=0.5 temperature that upweights small domains
+    relative to proportional sampling.
+
+    Cross-engine exactness: per-stratum token counts are exact BIGINTs;
+    the sqrt is floored to a BIGINT weight (IEEE sqrt is correctly
+    rounded in both engines, floor makes the last-bit question moot);
+    the normalizer is then an INTEGER sum — order-independent, so the
+    final double division is bit-identical regardless of aggregation
+    order. A raw double sum over strata would be order-dependent and
+    could flip the 6dp hash.
+
+    Scale notes: one shuffle on (lang, source) with map-side combine;
+    the strata table is tiny (domains, not docs), so the normalizing
+    total is a broadcastable 1-row aggregate."""
+    tok = H.tokens("text", spark=True)
+    strata = (
+        docs.select("lang", "source", F.expr(f"size({tok})").alias("ntok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("ntok").cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight_int", F.expr("cast(floor(sqrt(cast(n_tokens as double))) as long)")
+        )
+    )
+    total = strata.agg(F.sum("weight_int").cast("long").alias("w_total"))
+    return (
+        strata.crossJoin(F.broadcast(total))
+        .withColumn(
+            "mix_weight",
+            F.expr("cast(weight_int as double) / cast(w_total as double)"),
+        )
+        .select("lang", "source", "n_docs", "n_tokens", "weight_int", "mix_weight")
+    )
+
+
+def domain_mix_weights_oracle(corpus_cte: str) -> str:
+    tok = H.tokens("text", spark=False)
+    return f"""WITH {corpus_cte},
+strata AS (
+  SELECT lang, source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({tok})) AS BIGINT) AS n_tokens
+  FROM corpus GROUP BY lang, source
+),
+w AS (SELECT *, CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS weight_int
+      FROM strata),
+tot AS (SELECT CAST(SUM(weight_int) AS BIGINT) AS w_total FROM w)
+SELECT lang, source, n_docs, n_tokens, weight_int,
+       CAST(weight_int AS DOUBLE) / CAST(w_total AS DOUBLE) AS mix_weight
+FROM w CROSS JOIN tot
 """

@@ -436,6 +436,82 @@ WHERE CAST(i.inter AS DOUBLE) / (len(ha.hs) + len(hb.hs) - i.inter) >= {NGRAM_JA
 """
 
 
+# --- 4b. n-gram containment (near-superset detection) -----------------------
+
+# Directed containment c(A in B) = |S(A) n S(B)| / |S(A)|: the measure
+# Jaccard misses — a short doc fully embedded in a long one has low
+# Jaccard (union is big) but containment ~1. Standard pretraining op
+# for dropping quote-reposts / boilerplate-wrapped copies.
+CONTAINMENT_T = 0.5
+
+
+def doc_containment(corpus: DataFrame) -> DataFrame:
+    """Directed near-superset pairs: (doc_a, doc_b, shared, sz_a,
+    containment) where containment = |S(a) n S(b)| / |S(a)| >= 0.5,
+    S(d) = distinct 3-gram shingle hashes (df-capped: shingles in
+    > DF_CAP docs are dropped before pair generation, mirrored in the
+    oracle — the same stop-shingle guard as ngram_jaccard_dedup).
+    Emits BOTH directions when both clear the gate (a contained-in b
+    and b contained-in a are different facts).
+
+    Reference analog: none (the reference has no similarity ops); this
+    extends SURVEY §2.11 T4 with the asymmetric measure.
+
+    Scale notes: same inverted-index shape as T4 — one exchange for the
+    signature table, df-cap bounds per-shingle fan-out, pair agg is a
+    map-side-combinable count. The denominator uses the doc's FULL
+    distinct-shingle count (not the df-capped one), so the score is
+    interpretable; the cap only affects candidate recall, identically
+    in both engines."""
+    docs = _hashes_df(corpus)
+    ex = docs.select("doc_id", F.explode("hs").alias("h"))
+    dfh = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfh.filter((F.col("df") >= 2) & (F.col("df") <= DF_CAP)).select("h")
+    exk = ex.join(keep, "h")
+
+    a, b = exk.alias("a"), exk.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.size("hs").cast("long").alias("sz_a"))
+    # no rounding: both engines filter the identical raw double (same
+    # operands -> same IEEE result), and the compare hashes at 6dp
+    return (
+        inter.join(sa, "doc_a")
+        .withColumn("containment", F.expr("cast(shared as double) / sz_a"))
+        .filter(F.col("containment") >= CONTAINMENT_T)
+        .select("doc_a", "doc_b", "shared", "sz_a", "containment")
+    )
+
+
+def doc_containment_oracle(corpus_cte: str) -> str:
+    hs = _hashes_expr(False)
+    return f"""WITH {corpus_cte},
+hsets AS (SELECT doc_id, {hs} AS hs FROM corpus),
+hnon AS (SELECT * FROM hsets WHERE len(hs) > 0),
+ex AS (SELECT doc_id, UNNEST(hs) AS h FROM hnon),
+dfh AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {DF_CAP}),
+exk AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfh ON ex.h = dfh.h),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM exk a JOIN exk b ON a.h = b.h AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.shared,
+       CAST(len(ha.hs) AS BIGINT) AS sz_a,
+       CAST(i.shared AS DOUBLE) / len(ha.hs) AS containment
+FROM inter i
+JOIN hnon ha ON ha.doc_id = i.doc_a
+WHERE CAST(i.shared AS DOUBLE) / len(ha.hs) >= {CONTAINMENT_T}
+"""
+
+
 # --- 5. embedding cosine near-dup ------------------------------------------
 
 # Deterministic perturbed variants so near-dup pairs exist in the
@@ -475,18 +551,33 @@ def load_emb_corpus(spark, sf_dir: str) -> DataFrame:
 # Multi-table random-hyperplane LSH for candidate generation:
 # EMB_LSH_TABLES independent tables of EMB_LSH_PLANES sign bits each.
 # A pair is a candidate iff it collides in >= 1 table. At the 0.98
-# threshold (theta ~ 0.20 rad, per-plane agreement ~ 0.936) per-pair
-# miss probability is (1 - 0.936^12)^12 ~ 3e-6; empirically 12 tables
-# catch 50/50 planted pairs at sf0.01 and 200/200 at sf0.1 (8 tables
-# missed one — the planted pairs share one fixed perturbation delta,
-# so their misses are correlated and the tail is fatter than the
-# independent-pairs estimate). The whole scheme is deterministic, so
-# the oracle (which mirrors the bucketing verbatim) agrees exactly.
-# Planes-per-table scales as ~log2(N/target_bucket): 12 bits = 4096
-# buckets/table fits the bench corpus; a 100 TB corpus raises
-# EMB_LSH_PLANES, not the algorithm.
+# threshold (theta ~ 0.20 rad, per-plane agreement ~ 0.936) per-table
+# collision prob is 0.936^16 ~ 0.35, so 12 tables give per-pair miss
+# probability (1 - 0.35)^12 ~ 6e-3 for a borderline pair; empirically
+# the planted pairs (cos ~ 0.995, well above the gate) stay at exactly
+# 200/200 at sf0.1 and 2000/2000 at its 10x replication. The whole
+# scheme is deterministic, so the oracle (which mirrors the bucketing
+# verbatim) agrees exactly.
+#
+# Planes-per-table is the candidate-volume knob: random-pair collisions
+# scale as N^2 * 2^-planes per table, so planes grows as ~log2(N).
+# Round-3 measured a 5.3x wall ratio at 10x data with 12 planes —
+# profiled to candidate growth (11k -> 1.07M distinct candidates, 96x:
+# uniform occupancy growth at 4096 buckets/table, avg 5.8/bucket at
+# 10x, NOT a hot-bucket skew — max occupancy was only 44). 16 planes
+# (65536 buckets/table) cuts the 10x candidate set 11.6x (92.6k) with
+# recall pinned (planted pairs exactly 10x); 20 planes was measured to
+# drop one planted pair at 10x and is rejected. EMB_BUCKET_CAP bounds
+# the worst case on top: buckets whose occupancy exceeds the cap are
+# excluded from candidate generation in BOTH engines (the same
+# hot-band treatment minhash/simhash use), making intra-bucket work
+# <= tables * 2^planes * cap^2/2 regardless of corpus size. At bench
+# scales the cap drops nothing (max occupancy 44 << 128) — it is the
+# documented ceiling for the 100 TB case, where planes and cap are
+# sized per corpus at deployment.
 EMB_LSH_TABLES = 12
-EMB_LSH_PLANES = 12
+EMB_LSH_PLANES = 16
+EMB_BUCKET_CAP = 128
 
 
 def _emb_bucket_expr(emb: str, t: int, spark: bool) -> str:
@@ -567,6 +658,14 @@ def embedding_dup_pairs(embc: DataFrame) -> DataFrame:
             )
         ).alias("tb"),
     ).select("vec_id", "tb.t", "tb.bk")
+    # hot-bucket cap (quadratic ceiling guard, see EMB_BUCKET_CAP): the
+    # occupancy window shares the (t, bk) shuffle the self-join needs
+    wocc = Window.partitionBy("t", "bk")
+    buckets = (
+        buckets.withColumn("_occ", F.count(F.lit(1)).over(wocc))
+        .filter(F.col("_occ") <= EMB_BUCKET_CAP)
+        .drop("_occ")
+    )
 
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -599,14 +698,22 @@ def embedding_dup_oracle() -> str:
     bucket_cols = ",\n           ".join(
         f"{_emb_bucket_expr('emb', t, spark=False)} AS b{t}" for t in range(EMB_LSH_TABLES)
     )
-    any_match = " OR ".join(f"a.b{t} = b.b{t}" for t in range(EMB_LSH_TABLES))
+    unpivot = "\n    UNION ALL ".join(
+        f"SELECT vec_id, {t} AS t, b{t} AS bk FROM wb"
+        for t in range(EMB_LSH_TABLES)
+    )
     return f"""WITH {EMB_CORPUS_CTE},
 wb AS (SELECT vec_id, emb, {nf} AS nrm,
            {bucket_cols}
        FROM embc),
+bkt AS ({unpivot}),
+ok AS (SELECT t, bk FROM bkt GROUP BY t, bk
+       HAVING COUNT(*) <= {EMB_BUCKET_CAP}),
+bkt_ok AS (SELECT bkt.* FROM bkt JOIN ok USING (t, bk)),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM wb a JOIN wb b ON a.vec_id < b.vec_id AND ({any_match})
+  FROM bkt_ok a JOIN bkt_ok b
+    ON b.t = a.t AND b.bk = a.bk AND a.vec_id < b.vec_id
 )
 SELECT c.vec_a, c.vec_b,
        ROUND({dot} / (sqrt(a.nrm) * sqrt(b.nrm)), 6) AS cos_sim

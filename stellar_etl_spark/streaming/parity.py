@@ -845,6 +845,68 @@ def streamed_conv_turns_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streamed_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel with its stage-4 seen-map STREAMED: the
+    exact-dedup canonical map is maintained as update-mode streaming
+    state (the same drain as streamed_dedup_exact — per-fingerprint
+    (min doc_id, count) state through the exactly-once epoch sink),
+    folded back, and the funnel assembled from the folded canonical
+    map plus the row-local stage gates. Oracle: the batch
+    quality_funnel SQL — the streamed seen-map must yield the identical
+    per-stage drop accounting."""
+    from stellar_etl_spark.functions.corpus import load_corpus
+    from stellar_etl_spark.functions.curation import funnel_from_keep
+
+    folded = streamed_dedup_exact(spark, sf_dir)
+    docs = load_corpus(spark, sf_dir)
+    return funnel_from_keep(docs, folded.select("doc_id", "keep_doc_id"))
+
+
+def streamed_turn_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC JOIN evidence: the transcript stream inner-joined
+    to the static (batch-computed, broadcast) tool dimension per
+    micro-batch — the standard streaming-enrichment pattern (fact
+    stream x dimension table), which none of the other drains exercise.
+    Row-local + inner stream-static join needs no watermark; append
+    mode; oracle = the batch join of the same two inputs."""
+    from stellar_etl_spark.operators.dims import dim_tools
+
+    src_dir = _slice_dir(spark, sf_dir)
+    dim = dim_tools(load_transcripts(spark, sf_dir), surrogate="rank")
+    stream = (
+        read_transcript_stream(
+            spark, src_dir, max_files_per_trigger=2, with_lineage=False
+        )
+        .filter(F.col("tool").isNotNull())
+        .filter(F.col("conv_id") != CLOSER_CONV)
+    )
+    joined = stream.join(F.broadcast(dim), "tool").select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "tool_id",
+        "first_seen_ts",
+        "uses",
+    )
+    out = _drain_append(joined, "turn_tools")
+    return spark.read.parquet(out)
+
+
+TURN_TOOLS_ORACLE_SQL = """
+    SELECT t.conv_id, t.turn_idx, t.tool, d.tool_id, d.first_seen_ts, d.uses
+    FROM transcripts t
+    JOIN (
+      SELECT ROW_NUMBER() OVER (ORDER BY tool) AS tool_id,
+             tool,
+             MIN(ts) AS first_seen_ts,
+             COUNT(*) AS uses
+      FROM transcripts WHERE tool IS NOT NULL
+      GROUP BY tool
+    ) d USING (tool)
+    WHERE t.tool IS NOT NULL
+"""
+
+
 TRANS_TABLE = "transitions"
 
 

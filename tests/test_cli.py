@@ -226,6 +226,9 @@ def test_cli_doc_table_exports(spark, tmp_path):
         ("export-decontaminate", "decontaminate"),
         ("export-pack-sequences", "pack_sequences"),
         ("export-boilerplate-spans", "boilerplate_spans"),
+        ("export-corpus-split", "corpus_split"),
+        ("export-domain-mix-weights", "domain_mix_weights"),
+        ("export-doc-containment", "doc_containment"),
     ]:
         rc = cli.main(
             [cmd, "--input", DOCS_PARQUET, "--out", out], spark=spark
