@@ -54,6 +54,7 @@ QUERIES = (
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding",
+    "doc_containment",
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",
@@ -143,7 +144,12 @@ def main() -> None:
     # growth, not just wall time
     rows = {
         n: {"x1": qs[n](spark, SF_DIR).count(), "x10": qs[n](spark, scaled).count()}
-        for n in ("dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding")
+        for n in (
+            "dedup_minhash_lsh",
+            "dedup_ngram_jaccard",
+            "dedup_embedding",
+            "doc_containment",
+        )
     }
 
     out = {

@@ -442,3 +442,87 @@ def test_ann_sq8_recall_vs_exact(spark):
     overlaps = [len(ex[q] & got[q]) / len(ex[q]) for q in ex]
     mean = sum(overlaps) / len(overlaps)
     assert mean >= 0.7, f"mean top-10 overlap {mean:.2f} < 0.7 ({overlaps})"
+
+
+def test_corpus_split_partitions_and_isolation(spark, corpus):
+    """The split is a partition of the corpus (every doc exactly one
+    split), deterministic under repartitioning, independent of the
+    sampling gate (both sampled and unsampled docs land in every
+    split), and shares are near 98/1/1."""
+    from stellar_etl_spark.functions import curation as fcur
+
+    s = fcur.corpus_split(corpus)
+    n = corpus.count()
+    assert s.count() == n
+    a = {(r["doc_id"], r["split"]) for r in s.collect()}
+    b = {(r["doc_id"], r["split"]) for r in
+         fcur.corpus_split(corpus.repartition(11)).collect()}
+    assert a == b
+    shares = {r["split"]: r["n"] for r in
+              s.groupBy("split").count().withColumnRenamed("count", "n").collect()}
+    assert set(shares) == {"train", "val", "test"}
+    assert shares["train"] / n > 0.9
+    # independence from the sampling gate: the sampled subset spans
+    # every split (a shared salt would correlate membership)
+    sampled = fcur.stratified_sample(corpus).select("doc_id")
+    spl = {r["split"] for r in s.join(sampled, "doc_id").collect()}
+    assert spl == {"train", "val", "test"}
+
+
+def test_corpus_split_monotone_val_growth(spark, corpus):
+    """Raising the val share moves docs ONLY train->val: test
+    membership is untouched (the eval-set stability contract)."""
+    from stellar_etl_spark.functions import curation as fcur
+
+    base = {r["doc_id"]: r["split"] for r in fcur.corpus_split(corpus).collect()}
+    orig = fcur.SPLIT_TRAIN_PERMILLE
+    try:
+        fcur.SPLIT_TRAIN_PERMILLE = orig - 100
+        wide = {r["doc_id"]: r["split"] for r in fcur.corpus_split(corpus).collect()}
+    finally:
+        fcur.SPLIT_TRAIN_PERMILLE = orig
+    for d, sp in base.items():
+        if sp == "test":
+            assert wide[d] == "test"
+        elif sp == "val":
+            assert wide[d] == "val"
+        else:
+            assert wide[d] in ("train", "val")
+
+
+def test_domain_mix_weights_sum_to_one(spark, corpus):
+    from stellar_etl_spark.functions import curation as fcur
+
+    rows = fcur.domain_mix_weights(corpus).collect()
+    assert rows
+    assert abs(sum(r["mix_weight"] for r in rows) - 1.0) < 1e-9
+    # alpha=0.5 upweights small domains: weight share > token share
+    # for the smallest stratum, < for the largest
+    tot = sum(r["n_tokens"] for r in rows)
+    small = min(rows, key=lambda r: r["n_tokens"])
+    big = max(rows, key=lambda r: r["n_tokens"])
+    assert small["mix_weight"] > small["n_tokens"] / tot
+    assert big["mix_weight"] < big["n_tokens"] / tot
+
+
+def test_doc_containment_superset_and_direction(spark):
+    """A doc fully contained in a longer doc scores containment 1.0 in
+    the contained->container direction while Jaccard stays below its
+    gate; the reverse direction scores lower."""
+    from stellar_etl_spark.functions import dedup as fdedup
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta"
+    outer = (
+        "prefix one two three four five six seven eight nine ten "
+        + inner
+        + " suffix eleven twelve thirteen fourteen fifteen sixteen"
+    )
+    docs = spark.createDataFrame(
+        [(1, inner), (2, outer), (3, "unrelated words only here appear once")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in fdedup.doc_containment(docs).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (2, 1) not in got or got[(2, 1)] < 1.0
+    assert not any(3 in k for k in got)
