@@ -382,6 +382,68 @@ def test_dedup_stream_kill_resume_equals_batch(spark, tmp_path):
     assert _rows(got, cols) == _rows(exp, cols)
 
 
+def test_snapshot_ttl_kill_resume_equals_oracle(spark, tmp_path):
+    """TTL-snapshot resumability: kill the key-retiring snapshot stream
+    (applyInPandasWithState + EventTimeTimeout) after >=2 committed
+    epochs, resume from the same checkpoint, drain to the end. Pending
+    event-time TIMERS and per-key state must both survive the restart:
+    the retirement tombstones fire in the resumed run (after the closer
+    sentinels advance the watermark), and the fold must equal the batch
+    compaction restricted to the 48h activity window — the same ms-exact
+    boundary the driver oracle uses."""
+    import time
+
+    from stellar_etl_spark.operators.state import compact_last_state
+    from stellar_etl_spark.sources.transcripts import load_transcripts
+    from stellar_etl_spark.streaming import parity
+    from stellar_etl_spark.streaming.snapshot import (
+        read_final_snapshot,
+        start_snapshot_stream,
+    )
+    from tests.conftest import SF_UNIT
+
+    src_dir = parity._slice_dir(spark, SF_UNIT)
+    sink_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = EngineConfig(watermark_delay=parity.PARITY_DELAY)
+
+    def start(available_now):
+        stream = read_transcript_stream(
+            spark, src_dir, max_files_per_trigger=1, with_lineage=False
+        )
+        return start_snapshot_stream(
+            stream, sink_root, ckpt, cfg=cfg,
+            available_now=available_now, query_name="ttl_resume",
+            ttl_s=parity.SNAPSHOT_TTL_S,
+        )
+
+    q1 = start(available_now=False)
+    while len(EpochCommitSink(sink_root).committed_epochs()) < 2:
+        time.sleep(0.5)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    q2 = start(available_now=True)
+    assert q2.awaitTermination(540), "resumed TTL snapshot did not finish"
+
+    got = read_final_snapshot(spark, sink_root).filter(
+        F.col("conv_id") != parity.CLOSER_CONV
+    )
+    t = load_transcripts(spark, SF_UNIT)
+    max_ms = t.agg(
+        F.max(F.expr("unix_micros(ts) div 1000"))
+    ).collect()[0][0]
+    active_ms = parity.SNAPSHOT_TTL_ACTIVE_H * 3600 * 1000
+    exp = compact_last_state(t).filter(
+        F.expr(f"unix_micros(last_ts) div 1000 >= {max_ms - active_ms}")
+    )
+    cols = ["conv_id", "role", "last_turn_idx", "last_text", "last_tool",
+            "last_ts", "n_changes"]
+    assert _rows(got, cols) == _rows(exp, cols)
+    # retirement actually happened: the folded table is a strict subset
+    assert got.count() < compact_last_state(t).count()
+
+
 def test_sink_compact_preserves_content_and_vacuums(spark, tmp_path):
     """Compaction (rewrite_data_files analog): read_table content is
     identical before/after compact() and after vacuum(); epochs
