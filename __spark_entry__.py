@@ -231,6 +231,14 @@ def _q_quality_funnel_streamed(spark, sf):
     return parity.streamed_quality_funnel(spark, sf)
 
 
+def _q_conv_retention_streamed(spark, sf):
+    """Retention's (conv, active-day) seen-set as streaming state;
+    matrix assembled from the fold; oracle = the batch retention SQL."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_conv_retention(spark, sf)
+
+
 def _q_turn_tools_streamed(spark, sf):
     """Stream-static join evidence: transcript stream x broadcast tool
     dimension, drained append-mode; oracle = the equivalent batch
@@ -529,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_weights": _q_domain_mix_weights,
         "quality_funnel_streamed": _q_quality_funnel_streamed,
         "turn_tools_streamed": _q_turn_tools_streamed,
+        "conv_retention_streamed": _q_conv_retention_streamed,
         "dedup_embedding": _q_dedup_embedding,  # modified: 16 planes + bucket cap
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
@@ -554,9 +563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_tool": _q_asof_last_tool,
         "exchanges": _q_exchanges,
         "state_intervals": _q_state_intervals,
-        "dedup_minhash_lsh": _q_dedup_minhash,
         # ---- position 50 boundary: entries below have green rows in
         # CORRECTNESS_r03.json (pytest re-verifies all of them each run)
+        "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_exact": _q_dedup_exact,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
@@ -679,6 +688,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix_weights": fcur.domain_mix_weights_oracle(fcorpus.CORPUS_CTE),
         # streamed seen-map folds to the same canonical map: same oracle
         "quality_funnel_streamed": fcur.quality_funnel_oracle(fcorpus.CORPUS_CTE),
+        # streamed (conv, day) seen-set folds to the same pair set: same oracle
+        "conv_retention_streamed": _W + journeys.RETENTION_ORACLE_SQL,
         "turn_tools_streamed": _W + _parity_turn_tools_sql(),
         "dup_clusters": fdedup.dup_clusters_oracle(fcorpus.CORPUS_CTE),
         "dedup_resolve": fdedup.dedup_resolve_oracle(fcorpus.CORPUS_CTE),

@@ -862,6 +862,66 @@ def streamed_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_from_keep(docs, folded.select("doc_id", "keep_doc_id"))
 
 
+RET_TABLE = "retention_days"
+
+
+def streamed_conv_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention with its (conv, active-day) distinct set as
+    REAL streaming state: an update-mode groupBy(conv_id, activity_day)
+    aggregation is the distributed seen-set (state bounded at convs x
+    active-days — in production the retention window caps it), deltas
+    committed exactly-once through the epoch sink, folded to the
+    distinct pair set, then the cohort assignment and matrix reshape —
+    pure functions of the fold — run batch-side. Oracle: the batch
+    conv_retention SQL."""
+    src_dir = _slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_ret_")
+    sink = EpochCommitSink(os.path.join(work, "sink"))
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    ).filter(F.col("conv_id") != CLOSER_CONV)
+    days_stream = (
+        stream.select("conv_id", F.to_date("ts").alias("activity_day"))
+        .groupBy("conv_id", "activity_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def _write(batch_df: DataFrame, epoch_id: int) -> None:
+        sink.write_epoch(
+            epoch_id,
+            {RET_TABLE: batch_df.withColumn("epoch_id", F.lit(epoch_id))},
+        )
+
+    with _drain_conf(spark):
+        q = (
+            days_stream.writeStream.queryName("parity_retention")
+            .outputMode("update")
+            .foreachBatch(_write)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    days = (
+        sink.read_table(spark, RET_TABLE)
+        .select("conv_id", "activity_day")
+        .distinct()
+    )
+    cohort = days.groupBy("conv_id").agg(F.min("activity_day").alias("cohort_day"))
+    return (
+        days.join(cohort, "conv_id")
+        .groupBy("cohort_day", "activity_day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
+        .select(
+            "cohort_day",
+            "activity_day",
+            F.datediff("activity_day", "cohort_day").cast("long").alias("day_offset"),
+            "n_convs",
+        )
+    )
+
+
 def streamed_turn_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STATIC JOIN evidence: the transcript stream inner-joined
     to the static (batch-computed, broadcast) tool dimension per
