@@ -61,6 +61,21 @@ STATE_SCHEMA = T.StructType(
 
 _EVICT_GRACE_US = 0  # evict as soon as the watermark passes the user turn
 
+# Prebuilt 1-row eviction template: the final no-data batch fires one
+# timeout per pending key, and a fresh per-key pd.DataFrame({...}) with
+# pd.array columns measured ~10x the cost of copy-and-fill (~125 µs).
+_EVICT_TMPL = pd.DataFrame(
+    {
+        "conv_id": pd.array([""], dtype="string"),
+        "user_turn_idx": pd.array([0], dtype="Int32"),
+        "response_turn_idx": pd.array([None], dtype="Int32"),
+        "response_role": pd.array([None], dtype="string"),
+        "response_tool": pd.array([None], dtype="string"),
+        "latency_s": pd.array([None], dtype="Float64"),
+        "evicted_unmatched": pd.array([True], dtype="boolean"),
+    }
+)
+
 
 def _match_fn(
     key: tuple,
@@ -72,17 +87,10 @@ def _match_fn(
     if state.hasTimedOut:
         pending_idx, pending_ts_us, _ = state.get
         state.remove()
-        yield pd.DataFrame(
-            {
-                "conv_id": [conv_id],
-                "user_turn_idx": pd.array([pending_idx], dtype="Int32"),
-                "response_turn_idx": pd.array([None], dtype="Int32"),
-                "response_role": [None],
-                "response_tool": [None],
-                "latency_s": [None],
-                "evicted_unmatched": [True],
-            }
-        )
+        d = _EVICT_TMPL.copy()
+        d.iat[0, 0] = conv_id
+        d.iat[0, 1] = pending_idx
+        yield d
         return
 
     pending_idx, pending_ts_us, max_idx = (None, None, -1)
