@@ -25,6 +25,7 @@ from stellar_etl_spark.functions import curation as fcur
 from stellar_etl_spark.functions import dedup as fdedup
 from stellar_etl_spark.functions import multimodal as fmm
 from stellar_etl_spark.functions import similarity as fsim
+from stellar_etl_spark.functions import spans as fspans
 from stellar_etl_spark.functions import sketch as fsketch
 from stellar_etl_spark.functions import text as ftext
 from stellar_etl_spark.functions import trainprep as ftp
@@ -212,6 +213,10 @@ def _q_dedup_embedding(spark, sf):
 
 def _q_doc_containment(spark, sf):
     return fdedup.doc_containment(_C(spark, sf))
+
+
+def _q_dup_spans(spark, sf):
+    return fspans.dup_spans(_C(spark, sf))
 
 
 def _q_corpus_split(spark, sf):
@@ -539,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_tools_streamed": _q_turn_tools_streamed,
         "conv_retention_streamed": _q_conv_retention_streamed,
         "dedup_embedding": _q_dedup_embedding,  # modified: 16 planes + bucket cap
+        "dup_spans": _q_dup_spans,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -684,6 +690,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
         "dedup_embedding": fdedup.embedding_dup_oracle(),
         "doc_containment": fdedup.doc_containment_oracle(fcorpus.CORPUS_CTE),
+        "dup_spans": fspans.dup_spans_oracle(fcorpus.CORPUS_CTE),
         "corpus_split": fcur.corpus_split_oracle(fcorpus.CORPUS_CTE),
         "domain_mix_weights": fcur.domain_mix_weights_oracle(fcorpus.CORPUS_CTE),
         # streamed seen-map folds to the same canonical map: same oracle

@@ -55,6 +55,7 @@ QUERIES = (
     "dedup_ngram_jaccard",
     "dedup_embedding",
     "doc_containment",
+    "dup_spans",
     "ann_topk_brute",
     "ann_topk_lsh",
     "ann_topk_ivf",
@@ -149,6 +150,7 @@ def main() -> None:
             "dedup_ngram_jaccard",
             "dedup_embedding",
             "doc_containment",
+            "dup_spans",
         )
     }
 

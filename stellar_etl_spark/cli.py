@@ -83,6 +83,7 @@ def _doc_tables():
     silently change semantics."""
     from stellar_etl_spark.functions import curation as fcur
     from stellar_etl_spark.functions import dedup as fdedup
+    from stellar_etl_spark.functions import spans as fspans
     from stellar_etl_spark.functions import trainprep as ftp
 
     return {
@@ -93,6 +94,7 @@ def _doc_tables():
         "doc_top_terms": fcur.doc_top_terms,
         "doc_repetition": fcur.doc_repetition,
         "doc_containment": fdedup.doc_containment,
+        "dup_spans": fspans.dup_spans,
         "decontaminate": ftp.decontaminate,
         "pack_sequences": ftp.pack_sequences,
         "boilerplate_spans": ftp.boilerplate_spans,

@@ -229,6 +229,7 @@ def test_cli_doc_table_exports(spark, tmp_path):
         ("export-corpus-split", "corpus_split"),
         ("export-domain-mix-weights", "domain_mix_weights"),
         ("export-doc-containment", "doc_containment"),
+        ("export-dup-spans", "dup_spans"),
     ]:
         rc = cli.main(
             [cmd, "--input", DOCS_PARQUET, "--out", out], spark=spark

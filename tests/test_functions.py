@@ -526,3 +526,49 @@ def test_doc_containment_superset_and_direction(spark):
     assert got[(1, 2)] == 1.0
     assert (2, 1) not in got or got[(2, 1)] < 1.0
     assert not any(3 in k for k in got)
+
+
+def test_dup_spans_planted_shared_block(spark):
+    """Two docs sharing a 12-token block yield one maximal span each
+    with exact 1-based token coordinates; a doc with no repeated
+    K-gram yields nothing; a within-doc repeat also counts."""
+    from stellar_etl_spark.functions import spans as fspans
+
+    block = "the quick brown fox jumps over the lazy dog near the river"  # 12 tokens
+    d1 = "intro words here " + block + " outro tail"  # block at tokens 4..15
+    d2 = block + " completely different ending text"  # block at tokens 1..12
+    d3 = "no duplicated grams in this document at all whatsoever"
+    d4 = "aa bb cc dd ee xx aa bb cc dd ee"  # within-doc repeat of a 5-gram
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]): (r["span_len"], r["n_grams"])
+        for r in fspans.dup_spans(docs).collect()
+    }
+    # 12-token block -> 12 - 5 + 1 = 8 duplicated gram starts
+    assert got[(1, 4, 15)] == (12, 8)
+    assert got[(2, 1, 12)] == (12, 8)
+    assert not any(k[0] == 3 for k in got)
+    # "aa bb cc dd ee" occurs at tokens 1..5 and 7..11 of d4
+    assert got[(4, 1, 5)] == (5, 1)
+    assert got[(4, 7, 11)] == (5, 1)
+
+
+def test_dup_spans_merges_overlapping_windows(spark):
+    """Overlapping duplicated gram windows merge into ONE maximal span
+    (the gaps-and-islands pass), not one row per gram."""
+    from stellar_etl_spark.functions import spans as fspans
+
+    block = "one two three four five six seven"  # 7 tokens -> 3 gram starts
+    docs = spark.createDataFrame(
+        [(1, block), (2, "pad " + block)], "doc_id long, text string"
+    )
+    rows = fspans.dup_spans(docs).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(per_doc[1]) == 1 and len(per_doc[2]) == 1
+    assert per_doc[1][0]["span_start"] == 1 and per_doc[1][0]["span_end"] == 7
+    assert per_doc[2][0]["span_start"] == 2 and per_doc[2][0]["span_end"] == 8
+    assert per_doc[1][0]["n_grams"] == 3
