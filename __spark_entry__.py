@@ -305,6 +305,19 @@ def _q_tool_transitions(spark, sf):
     return journeys.tool_transitions(_T(spark, sf))
 
 
+def _q_error_bursts(spark, sf):
+    return journeys.error_bursts(_T(spark, sf))
+
+
+def _q_error_bursts_streamed(spark, sf):
+    """Quantified CEP (error{>=3} consecutive) with cross-batch run
+    state and watermark-timeout finalization; oracle = the batch
+    gaps-and-islands SQL."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_error_bursts(spark, sf)
+
+
 def _q_conv_documents(spark, sf):
     return journeys.conv_documents(_T(spark, sf))
 
@@ -545,6 +558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_retention_streamed": _q_conv_retention_streamed,
         "dedup_embedding": _q_dedup_embedding,  # modified: 16 planes + bucket cap
         "dup_spans": _q_dup_spans,
+        "error_bursts": _q_error_bursts,
+        "error_bursts_streamed": _q_error_bursts_streamed,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -713,6 +728,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": fcur.doc_repetition_oracle(fcorpus.CORPUS_CTE),
         "conv_retention": _W + journeys.RETENTION_ORACLE_SQL,
         "tool_transitions": _W + journeys.TRANSITIONS_ORACLE_SQL,
+        "error_bursts": _W + journeys.ERROR_BURSTS_ORACLE_SQL,
+        # the streamed CEP run fold finalizes to the same bursts: same oracle
+        "error_bursts_streamed": _W + journeys.ERROR_BURSTS_ORACLE_SQL,
         # cross-batch bigram reconstruction folds to the batch counts
         "tool_transitions_streamed": _W + journeys.TRANSITIONS_ORACLE_SQL,
         "conv_documents": _W + journeys.CONV_DOCUMENTS_ORACLE_SQL,

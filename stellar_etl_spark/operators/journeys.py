@@ -94,6 +94,63 @@ TRANSITIONS_ORACLE_SQL = """
 """
 
 
+MIN_BURST = 3  # quantified CEP pattern: error{3,} on consecutive turns
+
+
+def error_bursts(df: DataFrame) -> DataFrame:
+    """Error bursts: maximal runs of >= MIN_BURST consecutive
+    error-event turns per conversation — the quantified CEP pattern
+    (A{3,}) over the transcript stream's error-typed turns, batch form.
+
+    The transcript text contract embeds the source event type as a
+    pipe-delimited field (sources/transcripts.py derivation), so
+    '%|error|%' identifies error turns in both engines. Consecutive
+    turn_idx runs reduce to the classic gaps-and-islands trick:
+    turn_idx - row_number() is constant exactly on a consecutive run.
+    span_s uses cast-to-double epoch seconds (identical operands to
+    DuckDB's epoch(), and to the streamed form's us/1e6 arithmetic).
+
+    Scale: one shuffle (the per-conv window), island agg map-side
+    combinable; the error filter is pushed to the scan."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    errs = df.filter(F.col("text").like("%|error|%")).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        (F.col("turn_idx") - F.row_number().over(w)).alias("island"),
+    )
+    return (
+        errs.groupBy("conv_id", "island")
+        .agg(
+            F.min("turn_idx").cast("int").alias("start_idx"),
+            F.max("turn_idx").cast("int").alias("end_idx"),
+            F.count(F.lit(1)).cast("long").alias("n_errors"),
+            (
+                F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double"))
+            ).alias("span_s"),
+        )
+        .filter(F.col("n_errors") >= MIN_BURST)
+        .select("conv_id", "start_idx", "end_idx", "n_errors", "span_s")
+    )
+
+
+ERROR_BURSTS_ORACLE_SQL = f"""
+    , errs AS (
+      SELECT conv_id, turn_idx, ts,
+             turn_idx - ROW_NUMBER() OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx) AS island
+      FROM transcripts WHERE text LIKE '%|error|%'
+    )
+    SELECT conv_id,
+           CAST(MIN(turn_idx) AS INT) AS start_idx,
+           CAST(MAX(turn_idx) AS INT) AS end_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_errors,
+           MAX(epoch(ts)) - MIN(epoch(ts)) AS span_s
+    FROM errs GROUP BY conv_id, island
+    HAVING COUNT(*) >= {MIN_BURST}
+"""
+
+
 def conv_documents(df: DataFrame) -> DataFrame:
     """Reconstruct each conversation as one document: turn texts joined
     in (turn_idx) order — the bridge from the transcript side to the

@@ -1021,3 +1021,45 @@ def streamed_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_tool", "tool")
         .agg(F.sum("n").cast("long").alias("n_transitions"))
     )
+
+
+# --- streamed error bursts ---------------------------------------------------
+
+def streamed_error_bursts(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    """The quantified-CEP burst detector (streaming/bursts.py) drained
+    over the sliced driver input: a run of >= MIN_BURST consecutive
+    error turns emits when a non-error turn closes it mid-stream, and
+    a run still open at end-of-input is finalized by EventTimeTimeout
+    when the closer sentinels push the final watermark (the matcher's
+    eviction machinery as pattern finalization). No pre-filter on the
+    stream: non-error turns are the closing events, and a filter would
+    anyway be pushed below EventTimeWatermark and starve the timers
+    (the snapshot_ttl lesson). Oracle: the batch gaps-and-islands SQL
+    (operators/journeys.ERROR_BURSTS_ORACLE_SQL)."""
+    from stellar_etl_spark.deploy import ship_package
+    from stellar_etl_spark.streaming.bursts import error_bursts_stream
+
+    ship_package(spark)
+    src_dir = _slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_bursts_")
+    parity_cfg = EngineConfig(watermark_delay=PARITY_DELAY)
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    )
+    with _drain_conf(spark):
+        q = (
+            error_bursts_stream(stream, parity_cfg)
+            .writeStream.queryName("parity_bursts")
+            .outputMode("append")
+            .format("parquet")
+            .option("path", os.path.join(work, "out"))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(work, "out")).filter(
+        F.col("conv_id") != CLOSER_CONV
+    )

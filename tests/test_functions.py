@@ -572,3 +572,37 @@ def test_dup_spans_merges_overlapping_windows(spark):
     assert per_doc[1][0]["span_start"] == 1 and per_doc[1][0]["span_end"] == 7
     assert per_doc[2][0]["span_start"] == 2 and per_doc[2][0]["span_end"] == 8
     assert per_doc[1][0]["n_grams"] == 3
+
+
+def test_error_bursts_islands_and_threshold(spark):
+    """Gaps-and-islands semantics: only maximal runs of >= MIN_BURST
+    consecutive error turns survive; a turn_idx gap splits a run even
+    when both sides are errors; span_s = last minus first epoch secs."""
+    import pyspark.sql.functions as F
+
+    from stellar_etl_spark.operators import journeys
+
+    e, ok = "x |error| y", "fine"
+    rows = []
+    # conv a: idx 0..2 errors (burst), 3 ok, 4..5 errors (below MIN_BURST)
+    for i, txt in enumerate([e, e, e, ok, e, e]):
+        rows.append(("a", i, txt, i * 10.0))
+    # conv b: errors at 0,1,2 and 4,5,6 — the idx gap splits the run,
+    # each side is exactly MIN_BURST so both emit
+    for i in (0, 1, 2, 4, 5, 6):
+        rows.append(("b", i, e, float(i)))
+    df = (
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string, sec double"
+        )
+        .withColumn("ts", F.col("sec").cast("timestamp"))
+        .drop("sec")
+    )
+    got = {
+        (r["conv_id"], r["start_idx"]): r
+        for r in journeys.error_bursts(df).collect()
+    }
+    assert set(got) == {("a", 0), ("b", 0), ("b", 4)}
+    assert got[("a", 0)]["end_idx"] == 2 and got[("a", 0)]["n_errors"] == 3
+    assert got[("a", 0)]["span_s"] == 20.0
+    assert got[("b", 4)]["end_idx"] == 6 and got[("b", 4)]["span_s"] == 2.0

@@ -589,3 +589,128 @@ def test_transitions_resume_preserves_pattern_state(spark, data_dir, tmp_path):
     )
     exp = tool_transitions(read_transcript_batch(spark, data_dir))
     assert _rows(got) == _rows(exp)
+
+
+def test_bursts_resume_preserves_run_state(spark, tmp_path):
+    """Kill the quantified-CEP burst stream mid-input, resume from the
+    same checkpoint: the per-conversation open-run state survives the
+    restart (the planted run STRADDLES the kill point), a run still
+    open at end-of-input is emitted by EventTimeTimeout when the closer
+    sentinels push the final watermark, a sub-threshold trailing run's
+    timer fires and emits nothing, and the file sink's _spark_metadata
+    log absorbs epoch replay. Driver data never ends a conversation on
+    an error run (verified at sf0.001/sf0.01), so the timeout-EMIT path
+    needs this planted input; the driver-gated error_bursts_streamed
+    query covers the inline-close path on real data."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stellar_etl_spark.operators.journeys import error_bursts
+    from stellar_etl_spark.streaming import parity
+    from stellar_etl_spark.streaming.bursts import error_bursts_stream
+
+    e, ok = "x |error| y", "fine"
+    base_us = 1_700_000_000 * 1_000_000
+    # c1 ends on a 4-long error run (timeout-emitted); c2 has an
+    # inline-closed burst then a 1-long trailing run (timer fires,
+    # emits nothing); c3 never reaches MIN_BURST
+    convs = {
+        "c1": [ok, e, e, e, e],
+        "c2": [e, e, e, ok, e],
+        "c3": [e, e, ok, ok],
+    }
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    # slice by turn_idx: turns 0-1 / 2-3 / 4 — c1's open run straddles
+    # the file (and therefore the kill) boundary
+    slices = [(0, 1), (2, 3), (4, 4)]
+    t0 = time.time() - 2.0 * (len(slices) + 3)
+    for i, (lo, hi) in enumerate(slices):
+        rows = [
+            (c, k, "assistant", txts[k], None, base_us + k * 1_000_000)
+            for c, txts in convs.items()
+            for k in range(lo, min(hi, len(txts) - 1) + 1)
+        ]
+        cols = list(zip(*rows))
+        path = os.path.join(src_dir, f"slice-{i:05d}.parquet")
+        pq.write_table(pa.table(dict(zip(schema.names, cols)), schema=schema), path)
+        os.utime(path, (t0 + 2.0 * i, t0 + 2.0 * i))
+    for k in range(2):
+        tbl = pa.table(
+            {
+                "conv_id": [parity.CLOSER_CONV],
+                "turn_idx": [k],
+                "role": ["assistant"],
+                "text": ["closer"],
+                "tool": [parity.CLOSER_CONV],
+                "ts": [base_us + parity._DELAY_US + parity._SLACK_US + k * 1_000_000],
+            },
+            schema=schema,
+        )
+        path = os.path.join(src_dir, f"zz-closer-{k}.parquet")
+        pq.write_table(tbl, path)
+        mt = t0 + 2.0 * (len(slices) + k)
+        os.utime(path, (mt, mt))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = EngineConfig(watermark_delay=parity.PARITY_DELAY)
+
+    def start(available_now):
+        stream = read_transcript_stream(
+            spark, src_dir, max_files_per_trigger=1, with_lineage=False
+        )
+        w = (
+            error_bursts_stream(stream, cfg)
+            .writeStream.queryName("bursts_resume")
+            .outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+        )
+        w = (
+            w.trigger(availableNow=True)
+            if available_now
+            else w.trigger(processingTime="1 second")
+        )
+        return w.start()
+
+    commits = os.path.join(ckpt, "commits")
+    q1 = start(available_now=False)
+    while (
+        not os.path.isdir(commits)
+        or len([f for f in os.listdir(commits) if not f.startswith(".")]) < 2
+    ):
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    q2 = start(available_now=True)
+    assert q2.awaitTermination(540), "resumed burst stream did not finish"
+
+    got = spark.read.parquet(out).filter(F.col("conv_id") != parity.CLOSER_CONV)
+    cols = ["conv_id", "start_idx", "end_idx", "n_errors", "span_s"]
+    expected = [
+        ("c1", 1, 4, 3 + 1, 3.0),  # trailing: only the timeout can emit it
+        ("c2", 0, 2, 3, 2.0),  # inline: closed by the ok turn mid-stream
+    ]
+    assert _rows(got, cols) == sorted(expected)
+    # and the streamed rows equal the batch operator on the same input
+    batch_in = spark.read.parquet(src_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    assert _rows(got, cols) == _rows(
+        error_bursts(batch_in).filter(F.col("conv_id") != parity.CLOSER_CONV), cols
+    )
