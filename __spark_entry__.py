@@ -211,6 +211,22 @@ def _q_dedup_embedding(spark, sf):
     return fdedup.embedding_dup_pairs(fdedup.load_emb_corpus(spark, sf))
 
 
+def _q_semdedup(spark, sf):
+    from stellar_etl_spark.functions import semdedup as fsem
+
+    return fsem.semdedup(
+        fcorpus.load_embeddings(spark, sf), fdedup.load_emb_corpus(spark, sf)
+    )
+
+
+def _semdedup_oracle() -> str:
+    from stellar_etl_spark.functions import semdedup as fsem
+
+    return fsem.semdedup_oracle(
+        fcorpus.EMB_CTE.strip(), fdedup.EMB_CORPUS_CTE.strip()
+    )
+
+
 def _q_doc_containment(spark, sf):
     return fdedup.doc_containment(_C(spark, sf))
 
@@ -558,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_retention_streamed": _q_conv_retention_streamed,
         "dedup_embedding": _q_dedup_embedding,  # modified: 16 planes + bucket cap
         "dup_spans": _q_dup_spans,
+        "semdedup": _q_semdedup,
         "error_bursts": _q_error_bursts,
         "error_bursts_streamed": _q_error_bursts_streamed,
         # (3) streaming-stack parity: the streaming engine itself behind
@@ -706,6 +723,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": fdedup.embedding_dup_oracle(),
         "doc_containment": fdedup.doc_containment_oracle(fcorpus.CORPUS_CTE),
         "dup_spans": fspans.dup_spans_oracle(fcorpus.CORPUS_CTE),
+        "semdedup": _semdedup_oracle(),
         "corpus_split": fcur.corpus_split_oracle(fcorpus.CORPUS_CTE),
         "domain_mix_weights": fcur.domain_mix_weights_oracle(fcorpus.CORPUS_CTE),
         # streamed seen-map folds to the same canonical map: same oracle

@@ -606,3 +606,84 @@ def test_error_bursts_islands_and_threshold(spark):
     assert got[("a", 0)]["end_idx"] == 2 and got[("a", 0)]["n_errors"] == 3
     assert got[("a", 0)]["span_s"] == 20.0
     assert got[("b", 4)]["end_idx"] == 6 and got[("b", 4)]["span_s"] == 2.0
+
+
+def test_semdedup_exact_recall_and_keep_rule(spark):
+    """The angle-band pruning is LOSSLESS: the operator's verified
+    neighbor counts and keep flags equal a brute-force all-within-
+    cluster-pairs computation (no candidate generation at all) under
+    the same assignment/centroid/keep semantics — and the planted
+    perturbed twins are actually caught and resolved one-kept-each."""
+    import math
+
+    import numpy as np
+
+    from conftest import SF_UNIT
+    from stellar_etl_spark.functions import semdedup as fsem
+    from stellar_etl_spark.functions.corpus import load_embeddings
+    from stellar_etl_spark.functions.dedup import load_emb_corpus
+
+    got = {
+        r["vec_id"]: r
+        for r in fsem.semdedup(
+            load_embeddings(spark, SF_UNIT), load_emb_corpus(spark, SF_UNIT)
+        ).collect()
+    }
+
+    lab = load_embeddings(spark, SF_UNIT).collect()
+    cor = load_emb_corpus(spark, SF_UNIT).collect()
+    # centroids: integer micro-unit sums, one final division
+    by_label: dict = {}
+    for r in lab:
+        by_label.setdefault(r["label"], []).append(
+            np.round(np.array(r["emb"]) * 1e6).astype("int64")
+        )
+    labels = sorted(by_label)
+    cents = np.stack(
+        [np.sum(by_label[l], axis=0) / len(by_label[l]) / 1e6 for l in labels]
+    )
+    V = {r["vec_id"]: np.array(r["emb"]) for r in cor}
+    cluster, cent_cos = {}, {}
+    for vid, v in V.items():
+        d = ((cents - v) ** 2).sum(axis=1)
+        k = labels[int(np.argmin(d))]  # argmin takes first == MIN(label)
+        cluster[vid] = k
+        c = cents[labels.index(k)]
+        cent_cos[vid] = float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+    # ALL within-cluster pairs >= threshold — no pruning of any kind
+    neigh: dict = {vid: set() for vid in V}
+    ids = sorted(V)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cluster[a] != cluster[b]:
+                continue
+            va, vb = V[a], V[b]
+            cos = float(
+                va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))
+            )
+            # guard: nothing sits so close to the gate that numpy-vs-
+            # fold summation order could flip membership
+            assert abs(cos - fsem.SEM_COS_T) > 1e-9
+            if cos >= fsem.SEM_COS_T:
+                neigh[a].add(b)
+                neigh[b].add(a)
+    dropped = set()
+    for a in ids:
+        for b in neigh[a]:
+            if (cent_cos[b], b) < (cent_cos[a], a):
+                dropped.add(a)
+
+    assert set(got) == set(V)
+    for vid in ids:
+        assert got[vid]["cluster"] == cluster[vid], vid
+        assert got[vid]["n_near"] == len(neigh[vid]), vid
+        assert got[vid]["keep"] == (vid not in dropped), vid
+        assert math.isclose(
+            got[vid]["cent_cos"], round(cent_cos[vid], 6), abs_tol=1e-6
+        )
+    # the planted twins really exercise the path: some pairs found,
+    # and every found relation dropped at least one member
+    planted = [v for v in ids if v >= 10000 and cluster[v] == cluster[v - 10000]]
+    caught = [v for v in planted if (v - 10000) in neigh[v]]
+    assert len(caught) >= 40  # 50 planted at sf0.001; near-all same-cluster
+    assert sum(1 for v in ids if not got[v]["keep"]) >= len(caught)
