@@ -334,6 +334,15 @@ def _q_error_bursts_streamed(spark, sf):
     return parity.streamed_error_bursts(spark, sf)
 
 
+def _q_dedup_minhash_streamed(spark, sf):
+    """MinHash-LSH bucket membership as hard-bounded streaming state
+    (BAND_CAP + poisoning enforced IN the state store); oracle = the
+    batch minhash pair SQL."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_dedup_minhash(spark, sf)
+
+
 def _q_conv_documents(spark, sf):
     return journeys.conv_documents(_T(spark, sf))
 
@@ -577,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "error_bursts": _q_error_bursts,
         "error_bursts_streamed": _q_error_bursts_streamed,
+        "dedup_minhash_streamed": _q_dedup_minhash_streamed,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -718,6 +728,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
         "dedup_exact_streamed": fdedup.exact_dedup_oracle(fcorpus.CORPUS_CTE),
         "dedup_minhash_lsh": fdedup.minhash_lsh_oracle(fcorpus.CORPUS_CTE),
+        # bounded-state streamed bucket fold == the batch pairs: same oracle
+        "dedup_minhash_streamed": fdedup.minhash_lsh_oracle(fcorpus.CORPUS_CTE),
         "dedup_simhash": fdedup.simhash_oracle(fcorpus.CORPUS_CTE),
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
         "dedup_embedding": fdedup.embedding_dup_oracle(),

@@ -61,7 +61,11 @@ QUERIES = (
     "ann_topk_ivf",
     "doc_top_terms",
     "doc_repetition",
+    "semdedup",
 )
+
+
+MARKER_TAG = f"{REPLICAS}-labels-v2"  # bump when the synthesis changes
 
 
 def ensure_scaled_input(spark) -> str:
@@ -69,7 +73,9 @@ def ensure_scaled_input(spark) -> str:
     out = os.path.join(WORK, f"x{REPLICAS}")
     marker = os.path.join(out, ".complete")
     if os.path.exists(marker):
-        return out
+        with open(marker) as f:
+            if f.read() == MARKER_TAG:
+                return out
     if os.path.isdir(out):
         shutil.rmtree(out)
     from pyspark.sql import functions as F
@@ -98,7 +104,12 @@ def ensure_scaled_input(spark) -> str:
         .withColumn("n_chars", F.length("text"))
     )
     # cyclic dim rotation per replica: norm-preserving, planted pairs
-    # rotate together, cross-replica cosine is decorrelated
+    # rotate together, cross-replica cosine is decorrelated. Labels are
+    # replica-disjoint (label + r*10): the rotated replicas ARE separate
+    # semantic regions, and this grows the cluster count with the corpus
+    # — the K ∝ N regime SemDeDup's scale story assumes (constant
+    # expected cluster size). With labels held fixed a 10x run would
+    # grow cluster SIZE 10x instead, measuring the wrong regime.
     sembs = (
         embs.select("vec_id", "embedding", "label", r)
         .select(
@@ -107,13 +118,13 @@ def ensure_scaled_input(spark) -> str:
                 "transform(sequence(1, size(embedding)), "
                 "i -> element_at(embedding, ((i - 1 + r) % size(embedding)) + 1))"
             ).alias("embedding"),
-            "label",
+            (F.col("label") + F.col("r") * 10).alias("label"),
         )
     )
     sdocs.repartition(32).write.parquet(os.path.join(out, "documents.parquet"))
     sembs.repartition(32).write.parquet(os.path.join(out, "embeddings.parquet"))
     with open(marker, "w") as f:
-        f.write(str(REPLICAS))
+        f.write(MARKER_TAG)
     return out
 
 

@@ -68,6 +68,7 @@ def _tables(cfg: EngineConfig):
         "tool_transitions": journeys.tool_transitions,
         "conv_documents": journeys.conv_documents,
         "conv_doc_dedup": journeys.conv_doc_dedup,
+        "error_bursts": journeys.error_bursts,
         "tool_conv_hll": _tool_conv_hll_table,
     }
 
@@ -98,6 +99,34 @@ def _doc_tables():
         "decontaminate": ftp.decontaminate,
         "pack_sequences": ftp.pack_sequences,
         "boilerplate_spans": ftp.boilerplate_spans,
+    }
+
+
+def _emb_tables():
+    """Embedding-corpus exporters. ``--input`` is a parquet dir/file of
+    embeddings (vec_id, embedding array<float>, label). Unlike the
+    driver's `semdedup` query (which composes the planted-twin test
+    fixture, like `redact_pii`'s injection fixture), the CLI form runs
+    the pure operator over the real table. Batch-only: whole-corpus
+    passes (centroid sums, cluster-scoped pair joins)."""
+    from pyspark.sql import functions as F
+
+    from stellar_etl_spark.functions import semdedup as fsem
+    from stellar_etl_spark.functions import trainprep as ftp
+
+    def _cast(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("emb"),
+            "label",
+        )
+
+    return {
+        "lang_centroids": lambda df: ftp.lang_centroids(_cast(df)),
+        "kmeans_assign": lambda df: ftp.kmeans_assign(_cast(df)),
+        "semdedup": lambda df: fsem.semdedup(
+            _cast(df), _cast(df).select("vec_id", "emb")
+        ),
     }
 
 
@@ -165,6 +194,10 @@ def build_parser() -> argparse.ArgumentParser:
         sp = sub.add_parser(f"export-{name.replace('_', '-')}")
         common(sp)
         sp.set_defaults(table=name, doc_table=True)
+    for name in _emb_tables():
+        sp = sub.add_parser(f"export-{name.replace('_', '-')}")
+        common(sp)
+        sp.set_defaults(table=name, emb_table=True)
     return p
 
 
@@ -192,13 +225,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             df = df.withColumn(k, F.lit(v))
         return df
 
-    if getattr(args, "doc_table", False):
+    is_doc = getattr(args, "doc_table", False)
+    is_emb = getattr(args, "emb_table", False)
+    if is_doc or is_emb:
+        kind = "document" if is_doc else "embedding"
         if args.stream:
             raise SystemExit(f"--stream not supported for {args.table} "
                              "(whole-corpus pass; run it in batch mode)")
         if args.start_ts or args.end_ts:
             raise SystemExit("--start-ts/--end-ts apply to transcript "
-                             "exports; document tables have no event time")
+                             f"exports; {kind} tables have no event time")
         own = spark is None
         if own:
             from stellar_etl_spark.session import get_spark
@@ -209,11 +245,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         ship_package(spark)
         try:
-            docs = spark.read.parquet(args.input)
+            rows = spark.read.parquet(args.input)
             if args.limit and args.limit > 0:
-                docs = docs.orderBy("doc_id").limit(args.limit)
-            fn = _doc_tables()[args.table]
-            _with_extras(fn(docs)).write.mode("overwrite").format(
+                rows = rows.orderBy("doc_id" if is_doc else "vec_id").limit(
+                    args.limit
+                )
+            fn = (_doc_tables() if is_doc else _emb_tables())[args.table]
+            _with_extras(fn(rows)).write.mode("overwrite").format(
                 args.format
             ).save(f"{args.out}/{args.table}")
             return 0
@@ -229,7 +267,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # in the fan-out would silently change their semantics to per-batch,
     # so stream mode rejects (explicit table) or skips (export-all) them
     batch_only = {"latency_quantiles", "conv_retention", "tool_transitions",
-                  "conv_documents", "conv_doc_dedup"}
+                  "conv_documents", "conv_doc_dedup",
+                  # per-micro-batch islands would split consecutive runs
+                  # at batch boundaries; the real streaming form is
+                  # streaming/bursts.py (stateful, watermark-finalized)
+                  "error_bursts"}
     if args.stream:
         if args.table in batch_only:
             raise SystemExit(f"--stream not supported for {args.table} "

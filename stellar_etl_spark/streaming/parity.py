@@ -1063,3 +1063,71 @@ def streamed_error_bursts(
     return spark.read.parquet(os.path.join(work, "out")).filter(
         F.col("conv_id") != CLOSER_CONV
     )
+
+
+# --- streamed minhash-LSH dedup ----------------------------------------------
+
+MINHASH_BUCKET_TABLE = "minhash_buckets"
+
+
+def streamed_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection with bucket membership as REAL
+    streaming state (streaming/lshstate.py): the corpus streamed in
+    doc_id-range slices, per-(band_idx, band_key) membership maintained
+    by a hard-bounded applyInPandasWithState processor (BAND_CAP docs +
+    counter per key, poisoned past the cap — the batch hot-band rule
+    enforced in state), update-mode snapshots committed exactly-once
+    through the epoch sink, folded to the final bucket table (latest
+    epoch per key), pairs generated row-locally and Jaccard-verified
+    against the batch signature map. Oracle: the batch minhash SQL."""
+    from stellar_etl_spark.deploy import ship_package
+    from stellar_etl_spark.streaming.lshstate import minhash_bucket_stream
+
+    ship_package(spark)
+    src_dir = _doc_slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_minhash_")
+    sink_root = os.path.join(work, "sink")
+    sink = EpochCommitSink(sink_root)
+
+    def writer(batch_df: DataFrame, epoch_id: int) -> None:
+        sink.write_epoch(
+            epoch_id,
+            {MINHASH_BUCKET_TABLE: batch_df.withColumn("epoch_id", F.lit(epoch_id))},
+        )
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    with _drain_conf(spark):
+        q = (
+            minhash_bucket_stream(stream)
+            .writeStream.queryName("parity_minhash")
+            .outputMode("update")
+            .foreachBatch(writer)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return fold_minhash_sink(spark, sink_root, sf_dir)
+
+
+def fold_minhash_sink(spark: SparkSession, sink_root: str, sf_dir: str) -> DataFrame:
+    """Latest epoch per bucket (n is cumulative, so the fold is
+    order-safe), then the shared candidate/verify tail."""
+    from stellar_etl_spark.functions.corpus import load_corpus
+    from stellar_etl_spark.functions.dedup import _hashes_df
+    from stellar_etl_spark.streaming.lshstate import pairs_from_bucket_table
+
+    deltas = EpochCommitSink(sink_root).read_table(spark, MINHASH_BUCKET_TABLE)
+    latest = F.max_by(F.struct("n", "members"), F.col("epoch_id")).alias("s")
+    buckets = (
+        deltas.groupBy("band_idx", "band_key")
+        .agg(latest)
+        .select("band_idx", "band_key", F.col("s.n").alias("n"),
+                F.col("s.members").alias("members"))
+    )
+    sigs = _hashes_df(load_corpus(spark, sf_dir))
+    return pairs_from_bucket_table(buckets, sigs)

@@ -287,3 +287,94 @@ def test_cli_stream_rejects_global_aggregates(spark, small_input, tmp_path):
              "--out", str(tmp_path / "s"), "--checkpoint", str(tmp_path / "c")],
             spark=spark,
         )
+
+
+def test_cli_emb_table_exports(spark, tmp_path):
+    """Embedding-family tables export via the CLI over a real
+    embeddings parquet — semdedup here is the PURE operator (no
+    planted-twin fixture, the redact_pii injection-split discipline):
+    output equals the operator composed the same way on the same
+    input, and value-sane (every vector assigned, keeps <= rows)."""
+    from pyspark.sql import functions as F
+
+    from stellar_etl_spark.functions.semdedup import semdedup
+
+    emb_parquet = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "out")
+    for cmd, table in [
+        ("export-lang-centroids", "lang_centroids"),
+        ("export-kmeans-assign", "kmeans_assign"),
+        ("export-semdedup", "semdedup"),
+    ]:
+        rc = cli.main(
+            [cmd, "--input", emb_parquet, "--out", out], spark=spark
+        )
+        assert rc == 0
+        assert spark.read.parquet(f"{out}/{table}").count() > 0
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/semdedup").collect()
+    )
+    base = spark.read.parquet(emb_parquet).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    want = sorted(
+        tuple(r)
+        for r in semdedup(base, base.select("vec_id", "emb")).collect()
+    )
+    assert got == want
+    n_rows = spark.read.parquet(emb_parquet).count()
+    assert len(got) == n_rows
+
+
+def test_cli_error_bursts_batch_only(spark, tmp_path):
+    """error_bursts exports in batch and is refused under --stream
+    (per-micro-batch islands would split consecutive runs at batch
+    boundaries; the streaming form is the stateful detector). The
+    generator corpus carries no error-typed turns, so this plants a
+    transcript parquet with one real burst."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stellar_etl_spark.operators.journeys import error_bursts
+
+    e, ok = "x |error| y", "fine"
+    base = 1_700_000_000 * 1_000_000
+    rows = [("c1", k, "assistant", t, None, base + k * 1_000_000)
+            for k, t in enumerate([ok, e, e, e, ok, e])]
+    src = str(tmp_path / "src")
+    import os
+    os.makedirs(src)
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            dict(zip(["conv_id", "turn_idx", "role", "text", "tool", "ts"], cols)),
+            schema=pa.schema([
+                ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+                ("role", pa.string()), ("text", pa.string()),
+                ("tool", pa.string()), ("ts", pa.timestamp("us")),
+            ]),
+        ),
+        os.path.join(src, "part-0.parquet"),
+    )
+    out = str(tmp_path / "out")
+    rc = cli.main(
+        ["export-error-bursts", "--input", src, "--out", out], spark=spark
+    )
+    assert rc == 0
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/error_bursts").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in error_bursts(read_transcript_batch(spark, src)).collect()
+    )
+    assert got == want and len(got) == 1
+    assert got[0][1:4] == (1, 3, 3)  # start_idx, end_idx, n_errors
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["export-error-bursts", "--input", src,
+             "--out", str(tmp_path / "o2"), "--stream"],
+            spark=spark,
+        )

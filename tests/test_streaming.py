@@ -714,3 +714,70 @@ def test_bursts_resume_preserves_run_state(spark, tmp_path):
     assert _rows(got, cols) == _rows(
         error_bursts(batch_in).filter(F.col("conv_id") != parity.CLOSER_CONV), cols
     )
+
+
+def test_minhash_resume_preserves_bucket_state(spark, tmp_path):
+    """Kill the streamed minhash-LSH drain mid-corpus, resume from the
+    same checkpoint: per-bucket membership state survives the restart
+    (planted near-dup pairs live at doc_id and doc_id+10000, which land
+    in DIFFERENT doc_id-range slices, so their shared buckets straddle
+    the kill), the update-mode snapshots replayed into the epoch sink
+    are absorbed idempotently, and the final fold's verified pairs
+    equal the batch operator exactly."""
+    import time
+
+    from stellar_etl_spark.functions.corpus import load_corpus
+    from stellar_etl_spark.functions.dedup import minhash_lsh_dedup
+    from stellar_etl_spark.streaming import parity
+    from stellar_etl_spark.streaming.lshstate import minhash_bucket_stream
+    from tests.conftest import SF_UNIT
+
+    src_dir = parity._doc_slice_dir(spark, SF_UNIT)
+    sink_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sink = EpochCommitSink(sink_root)
+
+    def writer(bdf, eid):
+        sink.write_epoch(
+            eid,
+            {parity.MINHASH_BUCKET_TABLE: bdf.withColumn("epoch_id", F.lit(eid))},
+        )
+
+    def start(available_now):
+        stream = (
+            spark.readStream.schema(parity.DOC_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        w = (
+            minhash_bucket_stream(stream)
+            .writeStream.queryName("minhash_resume")
+            .outputMode("update")
+            .foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+        )
+        w = (
+            w.trigger(availableNow=True)
+            if available_now
+            else w.trigger(processingTime="1 second")
+        )
+        return w.start()
+
+    commits = os.path.join(ckpt, "commits")
+    q1 = start(available_now=False)
+    while (
+        not os.path.isdir(commits)
+        or len([f for f in os.listdir(commits) if not f.startswith(".")]) < 2
+    ):
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    q2 = start(available_now=True)
+    assert q2.awaitTermination(540), "resumed minhash stream did not finish"
+
+    got = parity.fold_minhash_sink(spark, sink_root, SF_UNIT)
+    exp = minhash_lsh_dedup(load_corpus(spark, SF_UNIT))
+    cols = ["doc_a", "doc_b", "jaccard"]
+    assert _rows(got, cols) == _rows(exp, cols)
+    assert got.count() > 0
