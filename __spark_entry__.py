@@ -343,6 +343,21 @@ def _q_dedup_minhash_streamed(spark, sf):
     return parity.streamed_dedup_minhash(spark, sf)
 
 
+def _bm25_oracle() -> str:
+    from stellar_etl_spark.functions import retrieval as fret
+
+    return fret.bm25_oracle(fcorpus.CORPUS_CTE)
+
+
+def _q_bm25_topk(spark, sf):
+    """Sparse lexical retrieval: exact-rational BM25 (linear idf,
+    k1=6/5, b=3/4 cleared to one BIGINT ratio per term), deterministic
+    sorted-fold score sum, two-phase top-k per query."""
+    from stellar_etl_spark.functions import retrieval as fret
+
+    return fret.bm25_topk(fcorpus.load_corpus(spark, sf))
+
+
 def _q_conv_documents(spark, sf):
     return journeys.conv_documents(_T(spark, sf))
 
@@ -587,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_bursts": _q_error_bursts,
         "error_bursts_streamed": _q_error_bursts_streamed,
         "dedup_minhash_streamed": _q_dedup_minhash_streamed,
+        "bm25_topk": _q_bm25_topk,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -730,6 +746,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": fdedup.minhash_lsh_oracle(fcorpus.CORPUS_CTE),
         # bounded-state streamed bucket fold == the batch pairs: same oracle
         "dedup_minhash_streamed": fdedup.minhash_lsh_oracle(fcorpus.CORPUS_CTE),
+        "bm25_topk": _bm25_oracle(),
         "dedup_simhash": fdedup.simhash_oracle(fcorpus.CORPUS_CTE),
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
         "dedup_embedding": fdedup.embedding_dup_oracle(),

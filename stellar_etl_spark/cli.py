@@ -84,11 +84,13 @@ def _doc_tables():
     silently change semantics."""
     from stellar_etl_spark.functions import curation as fcur
     from stellar_etl_spark.functions import dedup as fdedup
+    from stellar_etl_spark.functions import retrieval as fret
     from stellar_etl_spark.functions import spans as fspans
     from stellar_etl_spark.functions import trainprep as ftp
 
     return {
         "quality_funnel": fcur.quality_funnel,
+        "bm25_topk": fret.bm25_topk,
         "corpus_sample": fcur.stratified_sample,
         "corpus_split": fcur.corpus_split,
         "domain_mix_weights": fcur.domain_mix_weights,

@@ -230,6 +230,7 @@ def test_cli_doc_table_exports(spark, tmp_path):
         ("export-domain-mix-weights", "domain_mix_weights"),
         ("export-doc-containment", "doc_containment"),
         ("export-dup-spans", "dup_spans"),
+        ("export-bm25-topk", "bm25_topk"),
     ]:
         rc = cli.main(
             [cmd, "--input", DOCS_PARQUET, "--out", out], spark=spark
