@@ -305,6 +305,18 @@ def _q_latency_quantiles(spark, sf):
     return pairs.latency_quantiles(pairs.match_pairs(_T(spark, sf)))
 
 
+def _q_latency_outliers(spark, sf):
+    """Per-responder |z| > 3 latency anomalies: one vocabulary-keyed
+    stats agg broadcast back over the pairs table (no window sort)."""
+    return pairs.latency_outliers(pairs.match_pairs(_T(spark, sf)))
+
+
+def _q_tool_lift(spark, sf):
+    """Conversation-level tool-pair association (market-basket lift);
+    row-local pair generation, integer-exact until one division."""
+    return journeys.tool_lift(_T(spark, sf))
+
+
 def _q_quality_funnel(spark, sf):
     return fcur.quality_funnel(_C(spark, sf))
 
@@ -603,6 +615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_bursts_streamed": _q_error_bursts_streamed,
         "dedup_minhash_streamed": _q_dedup_minhash_streamed,
         "bm25_topk": _q_bm25_topk,
+        "latency_outliers": _q_latency_outliers,
+        "tool_lift": _q_tool_lift,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -747,6 +761,8 @@ def oracle_sql() -> dict[str, str]:
         # bounded-state streamed bucket fold == the batch pairs: same oracle
         "dedup_minhash_streamed": fdedup.minhash_lsh_oracle(fcorpus.CORPUS_CTE),
         "bm25_topk": _bm25_oracle(),
+        "latency_outliers": _W + pairs.latency_outliers_oracle_sql(),
+        "tool_lift": _W + journeys.TOOL_LIFT_ORACLE_SQL,
         "dedup_simhash": fdedup.simhash_oracle(fcorpus.CORPUS_CTE),
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
         "dedup_embedding": fdedup.embedding_dup_oracle(),

@@ -69,6 +69,8 @@ def _tables(cfg: EngineConfig):
         "conv_documents": journeys.conv_documents,
         "conv_doc_dedup": journeys.conv_doc_dedup,
         "error_bursts": journeys.error_bursts,
+        "tool_lift": journeys.tool_lift,
+        "latency_outliers": _latency_outliers_table,
         "tool_conv_hll": _tool_conv_hll_table,
     }
 
@@ -136,6 +138,12 @@ def _tool_conv_hll_table(df: DataFrame) -> DataFrame:
     from stellar_etl_spark.functions.sketch import tool_conv_hll
 
     return tool_conv_hll(df)
+
+
+def _latency_outliers_table(df: DataFrame) -> DataFrame:
+    from stellar_etl_spark.operators.pairs import latency_outliers, match_pairs
+
+    return latency_outliers(match_pairs(df))
 
 
 def _apply_range(df: DataFrame, args, streaming: bool = False) -> DataFrame:
@@ -273,7 +281,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                   # per-micro-batch islands would split consecutive runs
                   # at batch boundaries; the real streaming form is
                   # streaming/bursts.py (stateful, watermark-finalized)
-                  "error_bursts"}
+                  "error_bursts",
+                  # both need whole-input stats (population z / corpus N)
+                  "tool_lift", "latency_outliers"}
     if args.stream:
         if args.table in batch_only:
             raise SystemExit(f"--stream not supported for {args.table} "

@@ -224,3 +224,97 @@ def conv_doc_dedup_oracle_sql() -> str:
     FROM fps
 """
     )
+
+
+# --- tool co-occurrence lift (association mining) -----------------------------
+
+def tool_lift(df: DataFrame) -> DataFrame:
+    """Conversation-level tool association: for every tool pair
+    (a < b), the number of conversations using both, each tool's
+    conversation count, and the lift N*n_both/(n_a*n_b) — >1 means the
+    tools co-occur more than independence predicts (market-basket
+    affinity over the tool vocabulary; the transition matrix's
+    order-free complement). Integer arithmetic until ONE double
+    division.
+
+    Scale notes (100 TB): the (conv, tool) distinct is the only
+    corpus-sized shuffle; per-conversation pair generation is
+    ROW-LOCAL (sorted collect_set + nested transform — bounded by the
+    tool vocabulary, not the conversation length), and the pair
+    counts / per-tool counts / N are all vocabulary-sized or scalar,
+    joined by broadcast."""
+    ct = (
+        df.filter(F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    n_convs = df.select("conv_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs")
+    )
+    per_tool = ct.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tool")
+    )
+    pairs = (
+        ct.groupBy("conv_id")
+        .agg(F.sort_array(F.collect_set("tool")).alias("ts"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) -> "
+                    "transform(slice(ts, i + 2, size(ts)), y -> "
+                    "struct(x as tool_a, y as tool_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.tool_a", "p.tool_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    ca = per_tool.select(
+        F.col("tool").alias("tool_a"), F.col("n_tool").alias("n_a")
+    )
+    cb = per_tool.select(
+        F.col("tool").alias("tool_b"), F.col("n_tool").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "tool_a")
+        .join(F.broadcast(cb), "tool_b")
+        .crossJoin(F.broadcast(n_convs))
+        .select(
+            "tool_a",
+            "tool_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            "n_convs",
+            F.round(
+                F.expr(
+                    "CAST(n_convs * n_both AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)"
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+TOOL_LIFT_ORACLE_SQL = """
+    , ct AS (
+      SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs FROM transcripts
+    ), per_tool AS (
+      SELECT tool, CAST(COUNT(*) AS BIGINT) AS n_tool FROM ct GROUP BY tool
+    ), pr AS (
+      SELECT a.tool AS tool_a, b.tool AS tool_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+      GROUP BY a.tool, b.tool
+    )
+    SELECT pr.tool_a, pr.tool_b, pr.n_both,
+           ca.n_tool AS n_a, cb.n_tool AS n_b, n.n_convs,
+           ROUND(CAST(n.n_convs * pr.n_both AS DOUBLE)
+                 / CAST(ca.n_tool * cb.n_tool AS DOUBLE), 6) AS lift
+    FROM pr
+    JOIN per_tool ca ON ca.tool = pr.tool_a
+    JOIN per_tool cb ON cb.tool = pr.tool_b
+    CROSS JOIN n
+"""

@@ -193,3 +193,97 @@ def latency_quantiles_oracle_sql() -> str:
         + qcols
         + "\n  FROM ranked GROUP BY responder"
     )
+
+
+# --- latency outliers (anomaly detection) ------------------------------------
+# Two-sided population z-score gate. The double pipeline is pinned to
+# an identical op sequence on both engines over EXACT integer inputs
+# (x = floor(latency_s) BIGINT; S, Q exact BIGINT sums < 2^53 at bench
+# scales), so mu/var/sd/z are bit-identical and the > threshold can
+# never disagree cross-engine. sqrt and / are IEEE-754
+# correctly-rounded in both engines.
+OUTLIER_Z = 3.0
+
+
+def latency_outliers(pairs: DataFrame) -> DataFrame:
+    """Matched pairs whose latency is a per-responder outlier
+    (|z| > OUTLIER_Z, population stats).
+
+    Scale notes (100 TB): group stats come from ONE groupBy agg
+    (map-side combined) on the vocabulary-sized responder key and are
+    broadcast back — the probe side needs NO shuffle and NO window
+    sort, so the operator is a narrow map over the pairs table plus a
+    dimension-sized join. At petabyte group counts the BIGINT
+    Q = sum(x^2) moves to DECIMAL(38,0) — a type swap, not a formula
+    change."""
+    matched = pairs.filter(~F.col("evicted_unmatched")).select(
+        F.coalesce("response_tool", "response_role").alias("responder"),
+        "conv_id",
+        "user_turn_idx",
+        F.floor("latency_s").cast("long").alias("lat_s"),
+    )
+    stats = matched.groupBy("responder").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("lat_s").cast("long").alias("s1"),
+        F.sum(F.col("lat_s") * F.col("lat_s")).cast("long").alias("s2"),
+    )
+    mu = F.expr("CAST(s1 AS DOUBLE) / CAST(n_pairs AS DOUBLE)")
+    var = F.expr(
+        "CAST(s2 AS DOUBLE) / CAST(n_pairs AS DOUBLE)"
+        " - (CAST(s1 AS DOUBLE) / CAST(n_pairs AS DOUBLE))"
+        " * (CAST(s1 AS DOUBLE) / CAST(n_pairs AS DOUBLE))"
+    )
+    z = F.expr(
+        "(CAST(lat_s AS DOUBLE) - mu) / sqrt(var)"
+    )
+    return (
+        matched.join(F.broadcast(stats), "responder")
+        .withColumn("mu", mu)
+        .withColumn("var", var)
+        .filter(F.col("var") > 0)
+        .withColumn("zscore", z)
+        .filter(F.abs("zscore") > OUTLIER_Z)
+        .select(
+            "responder",
+            "conv_id",
+            "user_turn_idx",
+            F.col("lat_s").alias("latency_floor_s"),
+            "n_pairs",
+            F.round("mu", 6).alias("mean_s"),
+            F.round("zscore", 6).alias("zscore"),
+        )
+    )
+
+
+def latency_outliers_oracle_sql() -> str:
+    return (
+        _PAIRS_CTES
+        + ", pairs AS ("
+        + _PAIRS_SELECT
+        + f"""), matched AS (
+      SELECT COALESCE(response_tool, response_role) AS responder,
+             conv_id, user_turn_idx,
+             CAST(FLOOR(latency_s) AS BIGINT) AS lat_s
+      FROM pairs WHERE NOT evicted_unmatched
+    ), stats AS (
+      SELECT responder, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(lat_s) AS BIGINT) AS s1,
+             CAST(SUM(lat_s * lat_s) AS BIGINT) AS s2
+      FROM matched GROUP BY responder
+    ), scored AS (
+      SELECT m.responder, m.conv_id, m.user_turn_idx, m.lat_s, s.n_pairs,
+             CAST(s.s1 AS DOUBLE) / CAST(s.n_pairs AS DOUBLE) AS mu,
+             CAST(s.s2 AS DOUBLE) / CAST(s.n_pairs AS DOUBLE)
+               - (CAST(s.s1 AS DOUBLE) / CAST(s.n_pairs AS DOUBLE))
+               * (CAST(s.s1 AS DOUBLE) / CAST(s.n_pairs AS DOUBLE)) AS var
+      FROM matched m JOIN stats s USING (responder)
+    )
+    SELECT responder, conv_id, user_turn_idx,
+           lat_s AS latency_floor_s, n_pairs,
+           ROUND(mu, 6) AS mean_s,
+           ROUND((CAST(lat_s AS DOUBLE) - mu) / sqrt(var), 6) AS zscore
+    FROM scored
+    WHERE var > 0
+      AND ABS((CAST(lat_s AS DOUBLE) - mu) / sqrt(var)) > {OUTLIER_Z}
+"""
+    )
