@@ -1097,7 +1097,11 @@ def streamed_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = (
         spark.readStream.schema(DOC_STREAM_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        # 2 files/trigger: halves the state-store commits and the
+        # duplicate bucket invocations vs 1-file triggers (the matcher
+        # drain's cadence rationale); the kill/resume test keeps its
+        # own 1-file stream so the restart still lands mid-corpus
+        .option("maxFilesPerTrigger", 2)
         .parquet(src_dir)
     )
     with _drain_conf(spark):
