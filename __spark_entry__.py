@@ -370,6 +370,17 @@ def _q_bm25_topk(spark, sf):
     return fret.bm25_topk(fcorpus.load_corpus(spark, sf))
 
 
+def _q_bm25_topk_streamed(spark, sf):
+    """Incremental inverted-index maintenance: a stateless stream
+    derives (doc, dl) + per-query-term tf rows row-locally, commits
+    them exactly-once per epoch, and the serve-time fold runs the batch
+    scoring tail over the accumulated index; oracle = the batch BM25
+    SQL."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_bm25(spark, sf)
+
+
 def _q_conv_documents(spark, sf):
     return journeys.conv_documents(_T(spark, sf))
 
@@ -617,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "latency_outliers": _q_latency_outliers,
         "tool_lift": _q_tool_lift,
+        "bm25_topk_streamed": _q_bm25_topk_streamed,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -761,6 +773,8 @@ def oracle_sql() -> dict[str, str]:
         # bounded-state streamed bucket fold == the batch pairs: same oracle
         "dedup_minhash_streamed": fdedup.minhash_lsh_oracle(fcorpus.CORPUS_CTE),
         "bm25_topk": _bm25_oracle(),
+        # the incremental index fold scores to the same values: same oracle
+        "bm25_topk_streamed": _bm25_oracle(),
         "latency_outliers": _W + pairs.latency_outliers_oracle_sql(),
         "tool_lift": _W + journeys.TOOL_LIFT_ORACLE_SQL,
         "dedup_simhash": fdedup.simhash_oracle(fcorpus.CORPUS_CTE),

@@ -70,6 +70,17 @@ BM25_K = 10
 BM25_FANOUT = 64
 
 
+def query_terms(spark) -> DataFrame:
+    """The fixed query workload as a (query_id, token) dimension."""
+    tok = H.tokens("text", spark=True)
+    queries = spark.createDataFrame(
+        list(BM25_QUERIES), "query_id long, qtext string"
+    )
+    return queries.select(
+        "query_id", F.explode(F.expr(tok.replace("text", "qtext"))).alias("token")
+    ).distinct()
+
+
 def bm25_topk(docs: DataFrame, k: int = BM25_K) -> DataFrame:
     """Top-k documents per query by exact-rational BM25.
 
@@ -78,26 +89,12 @@ def bm25_topk(docs: DataFrame, k: int = BM25_K) -> DataFrame:
     (score desc, doc_id asc — fully deterministic)."""
     spark = docs.sparkSession
     tok = H.tokens("text", spark=True)
-
-    queries = spark.createDataFrame(
-        list(BM25_QUERIES), "query_id long, qtext string"
-    )
-    qterms = (
-        queries.select("query_id", F.explode(F.expr(tok.replace("text", "qtext"))).alias("token"))
-        .distinct()
-    )
+    qterms = query_terms(spark)
 
     toks = docs.select("doc_id", F.expr(tok).alias("toks"))
     dls = toks.select(
         "doc_id", F.size("toks").cast("long").alias("dl"), "toks"
     )
-    # 1-row corpus statistics: N docs, L total tokens (avgdl = L/N kept
-    # rational — never a rounded intermediate)
-    stats = dls.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_len"),
-    )
-
     exploded = dls.select("doc_id", "dl", F.explode("toks").alias("token"))
     # broadcast semi-prune: only query terms survive the map side
     tf = (
@@ -108,6 +105,23 @@ def bm25_topk(docs: DataFrame, k: int = BM25_K) -> DataFrame:
     # tf feeds both df and the scored fold (the doc_top_terms
     # materialization rationale)
     tf = tf.localCheckpoint(eager=True)
+    return score_topk(tf, dls.select("doc_id", "dl"), k)
+
+
+def score_topk(tf: DataFrame, dls: DataFrame, k: int = BM25_K) -> DataFrame:
+    """The scoring/ranking tail over the index tables — shared by the
+    batch operator and the streaming fold (streaming/parity.
+    streamed_bm25 maintains `tf` and `dls` incrementally and calls this
+    at serve time).
+
+    `tf`: (query_id, token, doc_id, dl, tf); `dls`: (doc_id, dl) for
+    EVERY corpus doc (N and L are whole-corpus statistics)."""
+    # 1-row corpus statistics: N docs, L total tokens (avgdl = L/N kept
+    # rational — never a rounded intermediate)
+    stats = dls.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
     df_tbl = (
         tf.select("token", "doc_id").distinct()
         .groupBy("token")

@@ -1135,3 +1135,122 @@ def fold_minhash_sink(spark: SparkSession, sink_root: str, sf_dir: str) -> DataF
     )
     sigs = _hashes_df(load_corpus(spark, sf_dir))
     return pairs_from_bucket_table(buckets, sigs)
+
+
+# --- streamed BM25: incremental inverted-index maintenance -------------------
+
+BM25_TF_TABLE = "bm25_tf"
+BM25_DL_TABLE = "bm25_dl"
+
+
+def streamed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25's index tables maintained by a STATELESS stream, scored at
+    serve time — the production retrieval shape (ingest updates the
+    index incrementally; queries are answered from the index, not by
+    rescanning the corpus).
+
+    Per arriving document the stream derives, row-locally (no state, no
+    shuffle, no watermark):
+      * (doc_id, dl) — the corpus-statistics row, and
+      * (query_id, token, doc_id, dl, tf) for each matched query term —
+        tf computed INSIDE the row via size(filter(toks, x -> x = tok))
+        over an inline-literal query-term explode (the query set is
+        dimension-sized, embedded in the plan — no join at all),
+    and commits both tables per epoch through the exactly-once sink
+    (multi-table fanout). The serve-time fold is the batch operator's
+    own scoring tail (functions/retrieval.score_topk) over the
+    accumulated index — df/N/L are computed from the index tables, so
+    scores are exactly the batch operator's and the DuckDB oracle is
+    shared verbatim.
+
+    Append-mode stateless streaming: exactly-once comes from the sink's
+    idempotent epoch commit alone (replayed epochs are skipped), which
+    the kill/resume suite proves for this sink; there is no operator
+    state to reconstruct."""
+    from stellar_etl_spark.deploy import ship_package
+    from stellar_etl_spark.functions import hashing as H
+    from stellar_etl_spark.functions import retrieval as fret
+
+    ship_package(spark)
+    src_dir = _doc_slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_bm25_")
+    sink_root = os.path.join(work, "sink")
+    sink = EpochCommitSink(sink_root)
+
+    qstructs = ", ".join(
+        f"named_struct('query_id', CAST({qid} AS BIGINT), 'token', '{t}')"
+        for qid, q in fret.BM25_QUERIES
+        for t in sorted(set(q.lower().split()))
+    )
+    tok = H.tokens("text", spark=True)
+
+    def index_rows(stream: DataFrame) -> DataFrame:
+        toks = stream.select(
+            "doc_id",
+            F.expr(tok).alias("toks"),
+        ).withColumn("dl", F.size("toks").cast("long"))
+        return (
+            toks.select(
+                "doc_id", "dl", "toks",
+                F.explode(F.expr(f"array({qstructs})")).alias("q"),
+            )
+            .withColumn(
+                "tf",
+                F.expr("CAST(size(filter(toks, x -> x = q.token)) AS LONG)"),
+            )
+            .select(
+                "doc_id", "dl",
+                F.col("q.query_id").alias("query_id"),
+                F.col("q.token").alias("token"),
+                "tf",
+            )
+        )
+
+    def writer(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            sink.write_epoch(
+                epoch_id,
+                {
+                    BM25_DL_TABLE: batch_df.select("doc_id", "dl")
+                    .distinct()
+                    .withColumn("epoch_id", F.lit(epoch_id)),
+                    BM25_TF_TABLE: batch_df.filter(F.col("tf") > 0)
+                    .select("query_id", "token", "doc_id", "dl", "tf")
+                    .withColumn("epoch_id", F.lit(epoch_id)),
+                },
+            )
+        finally:
+            batch_df.unpersist()
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    with _drain_conf(spark):
+        q = (
+            index_rows(stream)
+            .writeStream.queryName("parity_bm25")
+            .outputMode("append")
+            .foreachBatch(writer)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return fold_bm25_sink(spark, sink_root)
+
+
+def fold_bm25_sink(spark: SparkSession, sink_root: str) -> DataFrame:
+    """Serve-time scoring over the accumulated index tables: the batch
+    operator's own tail (df/N/L derived from the index, sorted-fold
+    score, two-phase top-k)."""
+    from stellar_etl_spark.functions import retrieval as fret
+
+    sink = EpochCommitSink(sink_root)
+    dls = sink.read_table(spark, BM25_DL_TABLE).select("doc_id", "dl")
+    tf = sink.read_table(spark, BM25_TF_TABLE).select(
+        "query_id", "token", "doc_id", "dl", "tf"
+    )
+    return fret.score_topk(tf, dls)
