@@ -781,3 +781,107 @@ def test_minhash_resume_preserves_bucket_state(spark, tmp_path):
     cols = ["doc_a", "doc_b", "jaccard"]
     assert _rows(got, cols) == _rows(exp, cols)
     assert got.count() > 0
+
+
+def test_bm25_resume_absorbs_replayed_index_epochs(spark, tmp_path):
+    """Kill the stateless BM25 index stream mid-corpus, resume from the
+    same checkpoint: replayed epochs are absorbed by the sink's
+    idempotent commit (no doc is double-counted into df/N/L — a
+    duplicate dl row would shift every score), and the serve-time fold
+    over the accumulated index equals the batch operator exactly."""
+    import time
+
+    from stellar_etl_spark.functions import retrieval as fret
+    from stellar_etl_spark.functions.corpus import load_corpus
+    from stellar_etl_spark.streaming import parity
+    from tests.conftest import SF_UNIT
+
+    src_dir = parity._doc_slice_dir(spark, SF_UNIT)
+    sink_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sink = EpochCommitSink(sink_root)
+
+    qstructs = ", ".join(
+        f"named_struct('query_id', CAST({qid} AS BIGINT), 'token', '{t}')"
+        for qid, q in fret.BM25_QUERIES
+        for t in sorted(set(q.lower().split()))
+    )
+    from stellar_etl_spark.functions import hashing as H
+
+    tok = H.tokens("text", spark=True)
+
+    def index_rows(stream):
+        toks = stream.select("doc_id", F.expr(tok).alias("toks")).withColumn(
+            "dl", F.size("toks").cast("long")
+        )
+        return (
+            toks.select(
+                "doc_id", "dl", "toks",
+                F.explode(F.expr(f"array({qstructs})")).alias("q"),
+            )
+            .withColumn(
+                "tf", F.expr("CAST(size(filter(toks, x -> x = q.token)) AS LONG)")
+            )
+            .select(
+                "doc_id", "dl",
+                F.col("q.query_id").alias("query_id"),
+                F.col("q.token").alias("token"), "tf",
+            )
+        )
+
+    def writer(bdf, eid):
+        bdf.persist()
+        try:
+            sink.write_epoch(
+                eid,
+                {
+                    parity.BM25_DL_TABLE: bdf.select("doc_id", "dl")
+                    .distinct().withColumn("epoch_id", F.lit(eid)),
+                    parity.BM25_TF_TABLE: bdf.filter(F.col("tf") > 0)
+                    .select("query_id", "token", "doc_id", "dl", "tf")
+                    .withColumn("epoch_id", F.lit(eid)),
+                },
+            )
+        finally:
+            bdf.unpersist()
+
+    def start(available_now):
+        stream = (
+            spark.readStream.schema(parity.DOC_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        w = (
+            index_rows(stream)
+            .writeStream.queryName("bm25_resume")
+            .outputMode("append")
+            .foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+        )
+        w = (
+            w.trigger(availableNow=True)
+            if available_now
+            else w.trigger(processingTime="1 second")
+        )
+        return w.start()
+
+    commits = os.path.join(ckpt, "commits")
+    q1 = start(available_now=False)
+    while (
+        not os.path.isdir(commits)
+        or len([f for f in os.listdir(commits) if not f.startswith(".")]) < 2
+    ):
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    q2 = start(available_now=True)
+    assert q2.awaitTermination(540), "resumed bm25 index stream did not finish"
+
+    got = parity.fold_bm25_sink(spark, sink_root)
+    exp = fret.bm25_topk(load_corpus(spark, SF_UNIT))
+    cols = ["query_id", "doc_id", "n_terms", "bm25", "rank"]
+    assert _rows(got, cols) == _rows(exp, cols)
+    # the index itself must be exactly-once: one dl row per corpus doc
+    n_docs = load_corpus(spark, SF_UNIT).count()
+    assert sink.read_table(spark, parity.BM25_DL_TABLE).count() == n_docs
