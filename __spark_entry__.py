@@ -370,6 +370,21 @@ def _q_bm25_topk(spark, sf):
     return fret.bm25_topk(fcorpus.load_corpus(spark, sf))
 
 
+def _corpus_profile_oracle() -> str:
+    from stellar_etl_spark.functions import profile as fprof
+
+    return fprof.corpus_profile_oracle(fcorpus.CORPUS_CTE)
+
+
+def _q_corpus_profile(spark, sf):
+    """Per-column profiling (ANALYZE analog): one agg pass, native-type
+    min/max cast to string post-agg, exact distincts (HLL swap noted
+    for petabyte rows)."""
+    from stellar_etl_spark.functions import profile as fprof
+
+    return fprof.corpus_profile(_C(spark, sf))
+
+
 def _q_bm25_topk_streamed(spark, sf):
     """Incremental inverted-index maintenance: a stateless stream
     derives (doc, dl) + per-query-term tf rows row-locally, commits
@@ -629,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_outliers": _q_latency_outliers,
         "tool_lift": _q_tool_lift,
         "bm25_topk_streamed": _q_bm25_topk_streamed,
+        "corpus_profile": _q_corpus_profile,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -777,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_streamed": _bm25_oracle(),
         "latency_outliers": _W + pairs.latency_outliers_oracle_sql(),
         "tool_lift": _W + journeys.TOOL_LIFT_ORACLE_SQL,
+        "corpus_profile": _corpus_profile_oracle(),
         "dedup_simhash": fdedup.simhash_oracle(fcorpus.CORPUS_CTE),
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
         "dedup_embedding": fdedup.embedding_dup_oracle(),

@@ -90,9 +90,12 @@ def _doc_tables():
     from stellar_etl_spark.functions import spans as fspans
     from stellar_etl_spark.functions import trainprep as ftp
 
+    from stellar_etl_spark.functions import profile as fprof
+
     return {
         "quality_funnel": fcur.quality_funnel,
         "bm25_topk": fret.bm25_topk,
+        "corpus_profile": fprof.corpus_profile,
         "corpus_sample": fcur.stratified_sample,
         "corpus_split": fcur.corpus_split,
         "domain_mix_weights": fcur.domain_mix_weights,

@@ -231,6 +231,7 @@ def test_cli_doc_table_exports(spark, tmp_path):
         ("export-doc-containment", "doc_containment"),
         ("export-dup-spans", "dup_spans"),
         ("export-bm25-topk", "bm25_topk"),
+        ("export-corpus-profile", "corpus_profile"),
     ]:
         rc = cli.main(
             [cmd, "--input", DOCS_PARQUET, "--out", out], spark=spark
