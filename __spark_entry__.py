@@ -31,6 +31,7 @@ from stellar_etl_spark.functions import text as ftext
 from stellar_etl_spark.functions import trainprep as ftp
 from stellar_etl_spark.operators import (
     dims,
+    dq,
     exchange,
     journeys,
     pairs,
@@ -370,6 +371,13 @@ def _q_bm25_topk(spark, sf):
     return fret.bm25_topk(fcorpus.load_corpus(spark, sf))
 
 
+def _q_dq_violations(spark, sf):
+    """Integrity-check violations over a deterministically mutated
+    fixture (the redact_pii injection-split discipline — the checker
+    itself is pure; the mutation CTE is mirrored in the oracle)."""
+    return dq.dq_violations(dq.inject_dq_violations(_T(spark, sf)))
+
+
 def _corpus_profile_oracle() -> str:
     from stellar_etl_spark.functions import profile as fprof
 
@@ -645,6 +653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_lift": _q_tool_lift,
         "bm25_topk_streamed": _q_bm25_topk_streamed,
         "corpus_profile": _q_corpus_profile,
+        "dq_violations": _q_dq_violations,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -794,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
         "latency_outliers": _W + pairs.latency_outliers_oracle_sql(),
         "tool_lift": _W + journeys.TOOL_LIFT_ORACLE_SQL,
         "corpus_profile": _corpus_profile_oracle(),
+        "dq_violations": _W + dq.DQ_ORACLE_SQL,
         "dedup_simhash": fdedup.simhash_oracle(fcorpus.CORPUS_CTE),
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
         "dedup_embedding": fdedup.embedding_dup_oracle(),

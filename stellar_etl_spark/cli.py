@@ -71,6 +71,7 @@ def _tables(cfg: EngineConfig):
         "error_bursts": journeys.error_bursts,
         "tool_lift": journeys.tool_lift,
         "latency_outliers": _latency_outliers_table,
+        "dq_violations": _dq_violations_table,
         "tool_conv_hll": _tool_conv_hll_table,
     }
 
@@ -147,6 +148,13 @@ def _latency_outliers_table(df: DataFrame) -> DataFrame:
     from stellar_etl_spark.operators.pairs import latency_outliers, match_pairs
 
     return latency_outliers(match_pairs(df))
+
+
+def _dq_violations_table(df: DataFrame) -> DataFrame:
+    # the PURE checker over the real input (no mutation fixture)
+    from stellar_etl_spark.operators.dq import dq_violations
+
+    return dq_violations(df)
 
 
 def _apply_range(df: DataFrame, args, streaming: bool = False) -> DataFrame:
@@ -286,7 +294,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                   # streaming/bursts.py (stateful, watermark-finalized)
                   "error_bursts",
                   # both need whole-input stats (population z / corpus N)
-                  "tool_lift", "latency_outliers"}
+                  "tool_lift", "latency_outliers",
+                  # dup/gap checks need cross-batch visibility
+                  "dq_violations"}
     if args.stream:
         if args.table in batch_only:
             raise SystemExit(f"--stream not supported for {args.table} "
