@@ -33,6 +33,7 @@ from stellar_etl_spark.operators import (
     dims,
     dq,
     exchange,
+    intervals,
     journeys,
     pairs,
     rollups,
@@ -378,6 +379,25 @@ def _q_dq_violations(spark, sf):
     return dq.dq_violations(dq.inject_dq_violations(_T(spark, sf)))
 
 
+def _q_dq_violations_streamed(spark, sf):
+    """T49 streamed: the integrity monitor as a streaming query —
+    row-local checks emit per micro-batch (stateless branch), order
+    checks (dup/gap/ts-regression) buffer a compact per-turn ledger in
+    applyInPandasWithState and finalize per conversation at event-time
+    timeout. Same injection, same oracle as the batch checker."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_dq_violations(spark, sf)
+
+
+def _q_burst_concurrency(spark, sf):
+    """T50: interval-overlap (range) join — per error burst, the count
+    of OTHER conversations with a session window concurrently open and
+    the summed overlap µs. Binned 1h-bucket equi-join with the
+    greatest-start anchor (dedupe-free), no nested-loop theta join."""
+    return intervals.burst_concurrency(_T(spark, sf))
+
+
 def _corpus_profile_oracle() -> str:
     from stellar_etl_spark.functions import profile as fprof
 
@@ -654,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_streamed": _q_bm25_topk_streamed,
         "corpus_profile": _q_corpus_profile,
         "dq_violations": _q_dq_violations,
+        "dq_violations_streamed": _q_dq_violations_streamed,
+        "burst_concurrency": _q_burst_concurrency,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -804,6 +826,8 @@ def oracle_sql() -> dict[str, str]:
         "tool_lift": _W + journeys.TOOL_LIFT_ORACLE_SQL,
         "corpus_profile": _corpus_profile_oracle(),
         "dq_violations": _W + dq.DQ_ORACLE_SQL,
+        "dq_violations_streamed": _W + dq.DQ_ORACLE_SQL,
+        "burst_concurrency": _W + intervals.BURST_CONCURRENCY_ORACLE_SQL,
         "dedup_simhash": fdedup.simhash_oracle(fcorpus.CORPUS_CTE),
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
         "dedup_embedding": fdedup.embedding_dup_oracle(),

@@ -35,6 +35,7 @@ def _tables(cfg: EngineConfig):
     from stellar_etl_spark.operators import (
         dims,
         exchange,
+        intervals,
         journeys,
         pairs,
         rollups,
@@ -70,6 +71,7 @@ def _tables(cfg: EngineConfig):
         "conv_doc_dedup": journeys.conv_doc_dedup,
         "error_bursts": journeys.error_bursts,
         "tool_lift": journeys.tool_lift,
+        "burst_concurrency": lambda df: intervals.burst_concurrency(df, cfg),
         "latency_outliers": _latency_outliers_table,
         "dq_violations": _dq_violations_table,
         "tool_conv_hll": _tool_conv_hll_table,
@@ -295,8 +297,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                   "error_bursts",
                   # both need whole-input stats (population z / corpus N)
                   "tool_lift", "latency_outliers",
-                  # dup/gap checks need cross-batch visibility
-                  "dq_violations"}
+                  # dup/gap checks need cross-batch visibility; the
+                  # real streaming form is streaming/dq.py (stateful,
+                  # watermark-finalized)
+                  "dq_violations",
+                  # needs the whole session-interval set on both sides
+                  "burst_concurrency"}
     if args.stream:
         if args.table in batch_only:
             raise SystemExit(f"--stream not supported for {args.table} "

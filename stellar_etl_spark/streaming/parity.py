@@ -1254,3 +1254,44 @@ def fold_bm25_sink(spark: SparkSession, sink_root: str) -> DataFrame:
         "query_id", "token", "doc_id", "dl", "tf"
     )
     return fret.score_topk(tf, dls)
+
+
+# --- streamed data-quality monitor -------------------------------------------
+
+def streamed_dq_violations(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    """The streaming integrity monitor (streaming/dq.py) drained over
+    the sliced driver input with the SAME deterministic violation
+    injection the batch query composes (operators/dq.py
+    inject_dq_violations — all narrow ops + self-union, streaming-
+    legal): row-local checks emit per micro-batch through the stateless
+    branch, order checks finalize per conversation when the closer
+    sentinels push the final watermark past every real event. Oracle:
+    the batch checker's SQL (operators/dq.DQ_ORACLE_SQL), value-exact."""
+    from stellar_etl_spark.deploy import ship_package
+    from stellar_etl_spark.operators.dq import inject_dq_violations
+    from stellar_etl_spark.streaming.dq import dq_violations_stream
+
+    ship_package(spark)
+    src_dir = _slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_dq_")
+    parity_cfg = EngineConfig(watermark_delay=PARITY_DELAY)
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    )
+    with _drain_conf(spark):
+        q = (
+            dq_violations_stream(inject_dq_violations(stream), parity_cfg)
+            .writeStream.queryName("parity_dq")
+            .outputMode("append")
+            .format("parquet")
+            .option("path", os.path.join(work, "out"))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(work, "out")).filter(
+        F.col("conv_id") != CLOSER_CONV
+    )

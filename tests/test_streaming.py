@@ -885,3 +885,143 @@ def test_bm25_resume_absorbs_replayed_index_epochs(spark, tmp_path):
     # the index itself must be exactly-once: one dl row per corpus doc
     n_docs = load_corpus(spark, SF_UNIT).count()
     assert sink.read_table(spark, parity.BM25_DL_TABLE).count() == n_docs
+
+def test_dq_stream_kill_resume_equals_batch(spark, tmp_path):
+    """Kill the streaming DQ monitor mid-input, resume from the same
+    checkpoint: the per-conversation (turn_idx, ts) ledger state
+    survives the restart (c1's duplicate turn arrives AFTER the kill,
+    its first copy before), order checks finalize via EventTimeTimeout
+    when the closer sentinels push the final watermark, row-local
+    checks ride their own micro-batch, and the whole output equals the
+    batch checker (operators/dq.dq_violations) on the same input."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stellar_etl_spark.operators.dq import dq_violations
+    from stellar_etl_spark.streaming import parity
+    from stellar_etl_spark.streaming.dq import dq_violations_stream
+
+    base_us = 1_700_000_000 * 1_000_000
+
+    def turn(conv, idx, role="assistant", text="ok", ts_us=None):
+        return (
+            conv,
+            idx,
+            role,
+            text,
+            None,
+            base_us + idx * 1_000_000 if ts_us is None else ts_us,
+        )
+
+    # arrival slices (mtime order). c1's dup of turn 1 arrives two
+    # slices after the original; c2 has a gap (0,1,5) plus a bad_role
+    # row; c3 has a ts regression at turn 2 plus an empty turn 0;
+    # c4 is the clean control.
+    slices = [
+        [
+            turn("c1", 0), turn("c1", 1),
+            turn("c2", 0), turn("c2", 1, role="robot"),
+            turn("c3", 0, text=""), turn("c3", 1),
+            turn("c4", 0), turn("c4", 1),
+        ],
+        [
+            turn("c3", 2, ts_us=base_us),  # < turn 1's ts -> regression
+            turn("c4", 2),
+            turn("c2", 5),  # gap after 1
+        ],
+        [
+            turn("c1", 1, ts_us=base_us + 1_000_000),  # exact dup copy
+            turn("c1", 2),
+        ],
+    ]
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    t0 = time.time() - 2.0 * (len(slices) + 3)
+    for i, rows in enumerate(slices):
+        cols = list(zip(*rows))
+        path = os.path.join(src_dir, f"slice-{i:05d}.parquet")
+        pq.write_table(pa.table(dict(zip(schema.names, cols)), schema=schema), path)
+        os.utime(path, (t0 + 2.0 * i, t0 + 2.0 * i))
+    for k in range(2):
+        tbl = pa.table(
+            {
+                "conv_id": [parity.CLOSER_CONV],
+                "turn_idx": [k],
+                "role": ["assistant"],
+                "text": ["closer"],
+                "tool": [parity.CLOSER_CONV],
+                "ts": [base_us + parity._DELAY_US + parity._SLACK_US + k * 1_000_000],
+            },
+            schema=schema,
+        )
+        path = os.path.join(src_dir, f"zz-closer-{k}.parquet")
+        pq.write_table(tbl, path)
+        mt = t0 + 2.0 * (len(slices) + k)
+        os.utime(path, (mt, mt))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = EngineConfig(watermark_delay=parity.PARITY_DELAY)
+
+    def start(available_now):
+        stream = read_transcript_stream(
+            spark, src_dir, max_files_per_trigger=1, with_lineage=False
+        )
+        w = (
+            dq_violations_stream(stream, cfg)
+            .writeStream.queryName("dq_resume")
+            .outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+        )
+        w = (
+            w.trigger(availableNow=True)
+            if available_now
+            else w.trigger(processingTime="1 second")
+        )
+        return w.start()
+
+    commits = os.path.join(ckpt, "commits")
+    q1 = start(available_now=False)
+    while (
+        not os.path.isdir(commits)
+        or len([f for f in os.listdir(commits) if not f.startswith(".")]) < 2
+    ):
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    q2 = start(available_now=True)
+    assert q2.awaitTermination(540), "resumed DQ stream did not finish"
+
+    got = spark.read.parquet(out).filter(F.col("conv_id") != parity.CLOSER_CONV)
+    cols = ["check_name", "conv_id", "turn_idx", "detail"]
+    expected = [
+        ("dup_turn_idx", "c1", 1, "2"),
+        ("turn_gap", "c1", 1, "1"),       # the dup row vs lag semantics
+        ("turn_gap", "c2", 5, "1"),
+        ("ts_regression", "c3", 2, ""),
+        ("bad_role", "c2", 1, "robot"),
+        ("empty_text", "c3", 0, ""),
+    ]
+    assert _rows(got, cols) == sorted(expected)
+    # and the streamed rows equal the pure batch checker on the same input
+    batch_in = spark.read.parquet(src_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    assert _rows(got, cols) == _rows(
+        dq_violations(batch_in).filter(F.col("conv_id") != parity.CLOSER_CONV), cols
+    )
