@@ -398,6 +398,69 @@ def _q_burst_concurrency(spark, sf):
     return intervals.burst_concurrency(_T(spark, sf))
 
 
+def _q_retrieve_rerank(spark, sf):
+    """T51: two-stage retrieval funnel — query-by-document lexical
+    recall (df-capped inverted index, two-phase top-cand) reranked by
+    exact embedding cosine over the doc_id==vec_id aligned PURE corpus."""
+    from stellar_etl_spark.functions import retrieval as fret
+
+    return fret.retrieve_rerank(
+        fcorpus.load_documents(spark, sf), fcorpus.load_embeddings(spark, sf)
+    )
+
+
+def _q_tool_pagerank(spark, sf):
+    """T52: iterative graph centrality — integer-exact weighted
+    PageRank (fixed 5 BIGINT-arithmetic iterations, lineage truncated
+    per round) over the tool-transition digraph."""
+    return journeys.tool_pagerank(_T(spark, sf))
+
+
+def _q_turn_replies_streamed(spark, sf):
+    """T53/J7 streamed: Spark's native symmetric-hash stream-stream
+    join — the watermarked turn stream self-joined on conv_id with an
+    event-time range (reply window), many-to-many semantics; state
+    bounded by the range condition, emission sentinel-independent."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_turn_replies(spark, sf)
+
+
+def _q_tool_rate_peak(spark, sf):
+    """T54 batch form: window-on-window rollup — per-tool 1m counts
+    re-aggregated into 10m peak/total/active-minute blocks."""
+    return rollups.tool_rate_peak(_T(spark, sf), CFG)
+
+
+def _q_tool_rate_peak_streamed(spark, sf):
+    """T54 streamed: Spark's native chained time-window aggregation —
+    two stateful aggs in one query, same watermark finalizes both."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_tool_rate_peak(spark, sf)
+
+
+def _q_turn_dedup_streamed(spark, sf):
+    """T55: native streaming dedup — injected exact-duplicate turns
+    dropped by dropDuplicatesWithinWatermark (bounded suppression
+    state); drained rows equal the batch DISTINCT."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_turn_dedup(spark, sf)
+
+
+def _replies_oracle() -> str:
+    from stellar_etl_spark.streaming.replies import TURN_REPLIES_ORACLE_SQL
+
+    return TURN_REPLIES_ORACLE_SQL
+
+
+def _retrieve_rerank_oracle() -> str:
+    from stellar_etl_spark.functions import retrieval as fret
+
+    return fret.retrieve_rerank_oracle(fcorpus.EMB_CTE)
+
+
 def _corpus_profile_oracle() -> str:
     from stellar_etl_spark.functions import profile as fprof
 
@@ -676,6 +739,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_violations": _q_dq_violations,
         "dq_violations_streamed": _q_dq_violations_streamed,
         "burst_concurrency": _q_burst_concurrency,
+        "retrieve_rerank": _q_retrieve_rerank,
+        "tool_pagerank": _q_tool_pagerank,
+        "turn_replies_streamed": _q_turn_replies_streamed,
+        "tool_rate_peak": _q_tool_rate_peak,
+        "tool_rate_peak_streamed": _q_tool_rate_peak_streamed,
+        "turn_dedup_streamed": _q_turn_dedup_streamed,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -828,6 +897,13 @@ def oracle_sql() -> dict[str, str]:
         "dq_violations": _W + dq.DQ_ORACLE_SQL,
         "dq_violations_streamed": _W + dq.DQ_ORACLE_SQL,
         "burst_concurrency": _W + intervals.BURST_CONCURRENCY_ORACLE_SQL,
+        "retrieve_rerank": _retrieve_rerank_oracle(),
+        "tool_pagerank": _W + journeys.tool_pagerank_oracle_sql(),
+        "turn_replies_streamed": _W + _replies_oracle(),
+        "tool_rate_peak": _W + rollups.PEAK_ORACLE_SQL,
+        "tool_rate_peak_streamed": _W + rollups.PEAK_ORACLE_SQL,
+        "turn_dedup_streamed": _W
+        + " SELECT conv_id, turn_idx, role, text, tool, ts FROM transcripts",
         "dedup_simhash": fdedup.simhash_oracle(fcorpus.CORPUS_CTE),
         "dedup_ngram_jaccard": fdedup.ngram_jaccard_oracle(fcorpus.CORPUS_CTE),
         "dedup_embedding": fdedup.embedding_dup_oracle(),

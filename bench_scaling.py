@@ -214,14 +214,28 @@ def main() -> None:
         results[cpus] = json.loads(lines[-1])
 
     lo, hi = LEVELS
-    eff = (results[lo]["best_wall_sec"] / results[hi]["best_wall_sec"]) / (hi / lo)
+    # Two estimators, both reported every run (earlier rounds printed
+    # only best-of while the docstring said medians — fixed):
+    #   * median-of-reps — the steady-state estimator, robust to the
+    #     multi-second host storm walls this box injects into long reps;
+    #   * best-of-reps — the noise-floor estimator, biased AGAINST the
+    #     slower level when storms are asymmetric (a longer rep has
+    #     proportionally more burst exposure, see SCALING_r04 caveats).
+    eff_med = (
+        results[lo]["median_wall_sec"] / results[hi]["median_wall_sec"]
+    ) / (hi / lo)
+    eff_best = (
+        results[lo]["best_wall_sec"] / results[hi]["best_wall_sec"]
+    ) / (hi / lo)
     print(json.dumps({
         "metric": "scaling_efficiency_N_to_4N",
-        "value": round(eff, 3),
+        "value": round(eff_med, 3),
+        "estimator": "median-of-reps (steady state); best-of in value_best",
+        "value_best": round(eff_best, 3),
         "unit": "ratio",
         "input_rows": n,
         "levels": results,
-        "protocol": f"best of {REPS} warm runs per level (steady state; shared-host noise excluded), fresh JVM per level",
+        "protocol": f"median/best of {REPS} warm runs per level, fresh JVM per level, taskset-pinned process tree, tmpfs shuffle dirs, per-rep /proc/stat steal telemetry",
         "input": INPUT_DIR,
     }))
 

@@ -72,6 +72,7 @@ def _tables(cfg: EngineConfig):
         "error_bursts": journeys.error_bursts,
         "tool_lift": journeys.tool_lift,
         "burst_concurrency": lambda df: intervals.burst_concurrency(df, cfg),
+        "tool_pagerank": journeys.tool_pagerank,
         "latency_outliers": _latency_outliers_table,
         "dq_violations": _dq_violations_table,
         "tool_conv_hll": _tool_conv_hll_table,
@@ -107,6 +108,7 @@ def _doc_tables():
         "doc_containment": fdedup.doc_containment,
         "dup_spans": fspans.dup_spans,
         "decontaminate": ftp.decontaminate,
+        "retrieve_rerank": None,  # two-input: handled in main (--embeddings)
         "pack_sequences": ftp.pack_sequences,
         "boilerplate_spans": ftp.boilerplate_spans,
     }
@@ -207,6 +209,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--session-gap", default="8 hours")
         sp.add_argument("--watermark", default="10 minutes")
         sp.add_argument("--files-per-trigger", type=int, default=4)
+        sp.add_argument(
+            "--embeddings", default=None,
+            help="embeddings parquet (vec_id, embedding, label) — required "
+                 "by export-retrieve-rerank (doc_id==vec_id aligned)",
+        )
 
     cfg0 = EngineConfig()
     for name in list(_tables(cfg0)) + ["all"]:
@@ -273,8 +280,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 rows = rows.orderBy("doc_id" if is_doc else "vec_id").limit(
                     args.limit
                 )
-            fn = (_doc_tables() if is_doc else _emb_tables())[args.table]
-            _with_extras(fn(rows)).write.mode("overwrite").format(
+            if args.table == "retrieve_rerank":
+                if not args.embeddings:
+                    raise SystemExit(
+                        "export-retrieve-rerank needs --embeddings <parquet>"
+                    )
+                from stellar_etl_spark.functions import retrieval as fret
+
+                emb = spark.read.parquet(args.embeddings).select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>").alias("emb"),
+                    "label",
+                )
+                out_df = fret.retrieve_rerank(rows, emb)
+            else:
+                fn = (_doc_tables() if is_doc else _emb_tables())[args.table]
+                out_df = fn(rows)
+            _with_extras(out_df).write.mode("overwrite").format(
                 args.format
             ).save(f"{args.out}/{args.table}")
             return 0
@@ -302,7 +324,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                   # watermark-finalized)
                   "dq_violations",
                   # needs the whole session-interval set on both sides
-                  "burst_concurrency"}
+                  "burst_concurrency",
+                  # iterative whole-graph fixpoint
+                  "tool_pagerank"}
     if args.stream:
         if args.table in batch_only:
             raise SystemExit(f"--stream not supported for {args.table} "

@@ -129,3 +129,107 @@ cc_reach(node, lbl) AS (
 cc_reps AS (
   SELECT node, MIN(lbl) AS rep FROM cc_reach GROUP BY node
 )"""
+
+
+# --- integer-exact PageRank (fixed iterations) -------------------------------
+
+PR_SCALE = 1_000_000  # ranks in micro-units
+PR_DAMP_NUM = 85      # damping 0.85 as the exact rational 85/100
+PR_DAMP_DEN = 100
+PR_ITERS = 5
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Weighted PageRank over a (src, dst, w) edge list with EVERY
+    operation in BIGINT arithmetic — floor-divided contributions and
+    damping — so a fixed iteration count yields bit-identical ranks in
+    any engine and under any partitioning/summation order (integer
+    addition is commutative; double PageRank is not reproducible
+    cross-engine). Dangling mass leaks (the standard 'leaked' variant):
+    deterministic, and irrelevant for ranking comparisons.
+
+    Per iteration: contribution src->dst = (r(src) * w) div out_w(src);
+    r'(v) = (scale*(den-num)) div den + (num * sum_in(v)) div den.
+
+    Scale notes (100 TB): per-round cost is one edges⋈ranks equi-join
+    (ranks are node-dimension-sized — broadcast when the node set fits,
+    shuffle on src otherwise) plus one dst-keyed map-side-combinable
+    sum; lineage is truncated per round (localCheckpoint — the
+    connected_components discipline), so the plan never grows with
+    iteration count. Iteration count is fixed, not convergence-tested:
+    rank deltas are monotone-bounded and 5 rounds is the standard
+    curation-signal depth; a fixpoint loop would re-introduce the
+    cross-engine float-tolerance problem fixed iterations avoid."""
+    e = edges.select("src", "dst", F.col("w").cast("long").alias("w"))
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    e = e.join(outw, "src").localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    r = nodes.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        inr = (
+            e.join(F.broadcast(r.withColumnRenamed("node", "src")), "src")
+            .withColumn("c", F.expr("(r * w) div ow"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("inr"))
+        )
+        r = (
+            nodes.join(inr, "node", "left")
+            .withColumn(
+                "r",
+                F.lit(base).cast("long")
+                + F.expr(f"({PR_DAMP_NUM} * coalesce(inr, 0L)) div {PR_DAMP_DEN}"),
+            )
+            .select("node", "r")
+            .localCheckpoint(eager=True)
+        )
+    return r.select("node", F.col("r").cast("long").alias("rank"))
+
+
+def pagerank_oracle_ctes(
+    edges_cte_name: str,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> str:
+    """Unrolled DuckDB CTE chain mirroring pagerank() iteration-for-
+    iteration (recursive CTEs cannot re-aggregate per round, so the
+    fixed depth is written out). Expects `{edges_cte_name}(src, dst,
+    w)` in scope; ends defining `prfinal(node, r)`."""
+    base = (scale * (PR_DAMP_DEN - PR_DAMP_NUM)) // PR_DAMP_DEN
+    parts = [
+        f"""
+    , prout AS (SELECT src, SUM(w) AS ow FROM {edges_cte_name} GROUP BY src)
+    , pre AS (SELECT e.src, e.dst, e.w, o.ow
+              FROM {edges_cte_name} e JOIN prout o ON o.src = e.src)
+    , prnodes AS (
+        SELECT DISTINCT node FROM (
+          SELECT src AS node FROM {edges_cte_name}
+          UNION ALL SELECT dst FROM {edges_cte_name}
+        )
+    )
+    , pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM prnodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+    , pr{i} AS (
+        SELECT n.node,
+               CAST({base} + ({PR_DAMP_NUM} * COALESCE(s.inr, 0))
+                    // {PR_DAMP_DEN} AS BIGINT) AS r
+        FROM prnodes n
+        LEFT JOIN (
+          SELECT e.dst AS node, SUM((r.r * e.w) // e.ow) AS inr
+          FROM pre e JOIN pr{i - 1} r ON r.node = e.src
+          GROUP BY e.dst
+        ) s ON s.node = n.node
+    )""")
+    parts.append(f"\n    , prfinal AS (SELECT node, r FROM pr{iters})")
+    return "".join(parts)

@@ -221,3 +221,157 @@ ranked AS (
 SELECT query_id, doc_id, n_terms, ROUND(score, 6) AS bm25, rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --- two-stage retrieval: lexical recall -> semantic rerank ------------------
+
+# query-by-document workload: the first N docs are the queries (the
+# ann_* convention), candidates recalled lexically, reranked by exact
+# embedding cosine. The production RAG/curation funnel shape: a cheap
+# high-recall stage bounds the candidate set, the expensive high-
+# precision stage runs only on survivors.
+RERANK_QUERIES = 8
+RERANK_CAND = 50   # stage-1 survivors per query
+RERANK_K = 10      # final neighbors per query
+RERANK_FANOUT = 64
+
+
+def retrieve_rerank(
+    docs: DataFrame,
+    emb: DataFrame,
+    n_queries: int = RERANK_QUERIES,
+    cand: int = RERANK_CAND,
+    k: int = RERANK_K,
+) -> DataFrame:
+    """Related-document search over the PURE corpus (doc_id == vec_id
+    row alignment): stage 1 recalls by distinct 3-gram SHINGLE overlap
+    through the df-capped inverted index (dedup._hashes_df — the
+    ngram_jaccard signature machinery; single-token overlap is useless
+    on a small vocabulary where every token blows past any df cap);
+    stage 2 reranks the <= cand survivors per query by exact embedding
+    cosine (hashing.dot_fold — the bit-identical sequential fold the
+    ann_* family uses).
+
+    Scale notes (100 TB): the index join touches only df-capped
+    shingles (per-shingle fan-out bounded by dedup.DF_CAP, stop-
+    shingles dropped); stage-1 top-cand is TWO-PHASE (per-(query,
+    hash-bucket) local window first, the BM25 machinery) so a hot
+    query cannot funnel its whole posting universe through one window
+    partition; stage 2 joins a candidate-sized set against the
+    embeddings table (broadcast candidates, no corpus scan, no
+    all-pairs)."""
+    from stellar_etl_spark.functions.dedup import DF_CAP, _hashes_df
+
+    ex = _hashes_df(docs).select("doc_id", F.explode("hs").alias("h"))
+    dfh = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfh.filter((F.col("df") >= 2) & (F.col("df") <= DF_CAP)).select("h")
+    kept = ex.join(keep, "h")
+    qsh = F.broadcast(
+        kept.filter(F.col("doc_id") < n_queries).select(
+            F.col("doc_id").alias("query_id"), "h"
+        )
+    )
+    ov = (
+        kept.join(qsh, "h")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+    )
+    order1 = [F.desc("overlap"), F.asc("doc_id")]
+    local = Window.partitionBy(
+        "query_id", F.pmod(F.hash("doc_id"), F.lit(RERANK_FANOUT))
+    ).orderBy(*order1)
+    glob = Window.partitionBy("query_id").orderBy(*order1)
+    sel = (
+        ov.withColumn("lr", F.row_number().over(local))
+        .filter(F.col("lr") <= cand)
+        .withColumn("crank", F.row_number().over(glob))
+        .filter(F.col("crank") <= cand)
+        .select("query_id", "doc_id", "overlap")
+    )
+
+    withn = emb.withColumn("nrm", F.expr(H.norm_fold("emb", spark=True)))
+    qe = F.broadcast(
+        withn.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    ce = withn.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("emb").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        ce.join(F.broadcast(sel), "doc_id")
+        .join(qe, "query_id")
+        .withColumn(
+            "cos_sim",
+            F.expr(f"{H.dot_fold('qe', 'ce', spark=True)} / (sqrt(qn) * sqrt(cn))"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "overlap",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+def retrieve_rerank_oracle(
+    emb_cte: str,
+    n_queries: int = RERANK_QUERIES,
+    cand: int = RERANK_CAND,
+    k: int = RERANK_K,
+) -> str:
+    """DuckDB mirror over the raw `documents` view + emb CTE. The
+    stage-1 window is single-pass here: the Spark two-phase local/global
+    pair shares one total order, so the results are identical."""
+    from stellar_etl_spark.functions.dedup import DF_CAP, _hashes_expr
+
+    hs = _hashes_expr(False)
+    dot = H.dot_fold("qe.emb", "ce.emb", spark=False)
+    nf = H.norm_fold("emb", spark=False)
+    return f"""WITH {emb_cte},
+hsets AS (SELECT doc_id, {hs} AS hs FROM documents),
+ex AS (SELECT doc_id, UNNEST(hs) AS h FROM hsets WHERE len(hs) > 0),
+dfh AS (SELECT h FROM ex GROUP BY h HAVING COUNT(*) BETWEEN 2 AND {DF_CAP}),
+kept AS (SELECT ex.doc_id, ex.h FROM ex JOIN dfh ON ex.h = dfh.h),
+ov AS (
+  SELECT q.doc_id AS query_id, d.doc_id, COUNT(*) AS overlap
+  FROM kept q JOIN kept d ON q.h = d.h AND d.doc_id <> q.doc_id
+  WHERE q.doc_id < {n_queries}
+  GROUP BY q.doc_id, d.doc_id
+),
+sel AS (
+  SELECT query_id, doc_id, overlap,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY overlap DESC, doc_id) AS crank
+  FROM ov
+),
+nrms AS (SELECT vec_id, emb, {nf} AS nrm FROM emb),
+scored AS (
+  SELECT s.query_id, s.doc_id, s.overlap,
+         {dot} / (sqrt(qe.nrm) * sqrt(ce.nrm)) AS cos_sim
+  FROM sel s
+  JOIN nrms qe ON qe.vec_id = s.query_id
+  JOIN nrms ce ON ce.vec_id = s.doc_id
+  WHERE s.crank <= {cand}
+),
+ranked AS (
+  SELECT query_id, doc_id, overlap, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(overlap AS BIGINT) AS overlap,
+       ROUND(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

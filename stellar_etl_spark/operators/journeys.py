@@ -318,3 +318,44 @@ TOOL_LIFT_ORACLE_SQL = """
     JOIN per_tool cb ON cb.tool = pr.tool_b
     CROSS JOIN n
 """
+
+
+def tool_pagerank(df: DataFrame) -> DataFrame:
+    """Tool-centrality ranking: integer-exact weighted PageRank
+    (functions/graph.pagerank — BIGINT floor arithmetic, fixed 5
+    iterations, bit-identical cross-engine) over the tool-transition
+    digraph (tool_transitions edges, '__start__' included as the
+    entry node). The 'which tools sit at the center of agent
+    workflows' curation signal; the transition matrix the streamed CEP
+    detector maintains incrementally, read as a graph."""
+    from stellar_etl_spark.functions.graph import pagerank
+
+    edges = tool_transitions(df).select(
+        F.col("prev_tool").alias("src"),
+        F.col("tool").alias("dst"),
+        F.col("n_transitions").alias("w"),
+    )
+    return pagerank(edges).select(
+        F.col("node").alias("tool"), F.col("rank").alias("pagerank_micro")
+    )
+
+
+def tool_pagerank_oracle_sql() -> str:
+    from stellar_etl_spark.functions.graph import pagerank_oracle_ctes
+
+    return (
+        """
+    , prtools AS (
+      SELECT conv_id, turn_idx, tool,
+             LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+      FROM transcripts WHERE tool IS NOT NULL
+    ), predges AS (
+      SELECT COALESCE(prev_tool, '__start__') AS src, tool AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM prtools GROUP BY COALESCE(prev_tool, '__start__'), tool
+    )"""
+        + pagerank_oracle_ctes("predges")
+        + """
+    SELECT node AS tool, CAST(r AS BIGINT) AS pagerank_micro FROM prfinal
+"""
+    )

@@ -116,3 +116,69 @@ def sliding_oracle_sql(dim: str, length_min: int = 5, slide_min: int = 1, where:
     {where}
     GROUP BY 1, 2, 3
     """
+
+
+# --- chained windowed aggregation (window-on-window) -------------------------
+
+PEAK_COARSE = "10 minutes"
+
+
+def tool_rate_peak(df: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """Two-level windowed aggregation: per-tool 1-minute turn counts,
+    re-aggregated into 10-minute peak/total/active-minute rollups —
+    the ops-dashboard shape ('worst minute in each 10-minute block').
+
+    The SAME code path runs batch and streaming: the second groupBy
+    keys on F.window(F.window_time(w), ...), which in streaming is the
+    chained time-window aggregation Spark supports natively from 3.4
+    (two stateful aggs in one query, each finalized by the same
+    watermark) — before that, window-on-window needed a foreachBatch
+    detour or an external re-read. No distinct counts here on purpose:
+    simple SUM/MAX/COUNT partials keep both levels map-side
+    combinable and streaming-legal in append mode.
+
+    Scale notes: level 1 reduces the stream to (minute × tool)
+    cardinality before any second shuffle; level 2 aggregates that
+    tiny keyspace. State per level is one row per open (window, tool)
+    — the watermark closes both."""
+    fine = (
+        df.filter(F.col("tool").isNotNull())
+        .groupBy(F.window("ts", cfg.tumbling).alias("w"), "tool")
+        .agg(F.count(F.lit(1)).cast("long").alias("turns"))
+    )
+    return (
+        fine.groupBy(
+            F.window(F.window_time("w"), PEAK_COARSE).alias("cw"), "tool"
+        )
+        .agg(
+            F.max("turns").cast("long").alias("peak_1m_turns"),
+            F.sum("turns").cast("long").alias("total_turns"),
+            F.count(F.lit(1)).cast("long").alias("active_minutes"),
+        )
+        .select(
+            F.col("cw.start").alias("window_start"),
+            F.col("cw.end").alias("window_end"),
+            "tool",
+            "peak_1m_turns",
+            "total_turns",
+            "active_minutes",
+        )
+    )
+
+
+PEAK_ORACLE_SQL = """
+    , fine AS (
+      SELECT CAST(floor(epoch(ts) / 60) AS BIGINT) AS m, tool,
+             COUNT(*) AS turns
+      FROM transcripts WHERE tool IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT
+      to_timestamp((m // 10) * 600)::TIMESTAMP AS window_start,
+      to_timestamp((m // 10) * 600 + 600)::TIMESTAMP AS window_end,
+      tool,
+      CAST(MAX(turns) AS BIGINT) AS peak_1m_turns,
+      CAST(SUM(turns) AS BIGINT) AS total_turns,
+      CAST(COUNT(*) AS BIGINT) AS active_minutes
+    FROM fine GROUP BY 1, 2, 3
+"""

@@ -1295,3 +1295,86 @@ def streamed_dq_violations(
     return spark.read.parquet(os.path.join(work, "out")).filter(
         F.col("conv_id") != CLOSER_CONV
     )
+
+
+# --- native stream-stream range join -----------------------------------------
+
+def streamed_turn_replies(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    """Spark's BUILT-IN symmetric-hash stream-stream join (equi on
+    conv_id + event-time range) drained over the sliced driver input.
+    Inner-join rows emit when both sides have arrived — no sentinel /
+    watermark dependence for correctness (the watermark only bounds
+    state), so the drained rows equal the batch theta join
+    (streaming/replies.TURN_REPLIES_ORACLE_SQL) for any slicing."""
+    from stellar_etl_spark.streaming.replies import reply_join_stream, reply_pairs
+
+    src_dir = _slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_replies_")
+    parity_cfg = EngineConfig(watermark_delay=PARITY_DELAY)
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    )
+    with _drain_conf(spark):
+        q = (
+            reply_join_stream(stream, parity_cfg)
+            .writeStream.queryName("parity_replies")
+            .outputMode("append")
+            .format("parquet")
+            .option("path", os.path.join(work, "out"))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return reply_pairs(
+        spark.read.parquet(os.path.join(work, "out")).filter(
+            F.col("conv_id") != CLOSER_CONV
+        )
+    )
+
+
+# --- chained window aggregation + native streaming dedup ---------------------
+
+def streamed_tool_rate_peak(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    """The window-on-window rollup (operators/rollups.tool_rate_peak)
+    running as Spark's native CHAINED time-window aggregation — two
+    stateful aggs in one streaming query, both finalized by the same
+    watermark (3.4+ feature; the closer sentinels push the final
+    watermark past every real 10-minute window). Oracle: the batch
+    two-level SQL (PEAK_ORACLE_SQL), value-exact."""
+    from stellar_etl_spark.operators.rollups import tool_rate_peak
+
+    src_dir = _slice_dir(spark, sf_dir)
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    ).withWatermark("ts", PARITY_DELAY)
+    out = _drain_append(tool_rate_peak(stream, cfg), "tool_rate_peak")
+    return spark.read.parquet(out).filter(F.col("tool") != CLOSER_CONV)
+
+
+def streamed_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming dedup: exact duplicate turns are injected by
+    self-union (every turn_idx % 7 == 3 arrives twice — the DQ
+    injection discipline) and dropped by Spark's
+    dropDuplicatesWithinWatermark on (conv_id, turn_idx) — first
+    arrival emits immediately, the suppression state is retired when
+    the watermark passes the key (bounded state, unlike plain
+    dropDuplicates whose state never expires on a stream). With the
+    parity delay no suppression window expires mid-stream, so the
+    drained rows equal the batch DISTINCT — i.e. exactly the original
+    transcript table."""
+    src_dir = _slice_dir(spark, sf_dir)
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    )
+    dup = stream.filter(F.col("turn_idx") % 7 == 3)
+    injected = stream.unionByName(dup).withWatermark("ts", PARITY_DELAY)
+    deduped = injected.dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    out = _drain_append(deduped, "turn_dedup")
+    return spark.read.parquet(out).filter(F.col("conv_id") != CLOSER_CONV)

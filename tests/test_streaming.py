@@ -1025,3 +1025,94 @@ def test_dq_stream_kill_resume_equals_batch(spark, tmp_path):
     assert _rows(got, cols) == _rows(
         dq_violations(batch_in).filter(F.col("conv_id") != parity.CLOSER_CONV), cols
     )
+
+def test_reply_join_resume_pairs_straddle_kill(spark, tmp_path):
+    """Native stream-stream range join: kill mid-input with a user
+    turn already buffered in join state and its assistant reply still
+    unread; after resume from the same checkpoint the pair emits
+    exactly once. Also pins the many-to-many fan-out (two replies in
+    the window -> two rows — the semantics the 1:1 matcher collapses)
+    and the range bound (a reply outside REPLY_WINDOW never pairs)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stellar_etl_spark.streaming import parity
+    from stellar_etl_spark.streaming.replies import reply_join_stream, reply_pairs
+
+    base_us = 1_700_000_000 * 1_000_000
+
+    def turn(conv, idx, role, off_s):
+        return (conv, idx, role, "t", None, base_us + off_s * 1_000_000)
+
+    slices = [
+        [turn("c1", 0, "user", 0), turn("c2", 0, "user", 0)],
+        [turn("c2", 1, "assistant", 5), turn("c2", 2, "assistant", 20)],
+        # c1's reply arrives after the kill; idx 3 is outside the
+        # 2h reply window
+        [turn("c1", 1, "assistant", 10), turn("c1", 3, "assistant", 7300)],
+    ]
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    t0 = time.time() - 2.0 * (len(slices) + 1)
+    for i, rows in enumerate(slices):
+        cols = list(zip(*rows))
+        path = os.path.join(src_dir, f"slice-{i:05d}.parquet")
+        pq.write_table(pa.table(dict(zip(schema.names, cols)), schema=schema), path)
+        os.utime(path, (t0 + 2.0 * i, t0 + 2.0 * i))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = EngineConfig(watermark_delay=parity.PARITY_DELAY)
+
+    def start(available_now):
+        stream = read_transcript_stream(
+            spark, src_dir, max_files_per_trigger=1, with_lineage=False
+        )
+        w = (
+            reply_join_stream(stream, cfg)
+            .writeStream.queryName("replies_resume")
+            .outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+        )
+        w = (
+            w.trigger(availableNow=True)
+            if available_now
+            else w.trigger(processingTime="1 second")
+        )
+        return w.start()
+
+    commits = os.path.join(ckpt, "commits")
+    q1 = start(available_now=False)
+    while (
+        not os.path.isdir(commits)
+        or len([f for f in os.listdir(commits) if not f.startswith(".")]) < 2
+    ):
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+
+    q2 = start(available_now=True)
+    assert q2.awaitTermination(540), "resumed reply join did not finish"
+
+    got = reply_pairs(spark.read.parquet(out))
+    cols = ["conv_id", "user_idx", "reply_idx", "reply_delay_s"]
+    expected = [
+        ("c1", 0, 1, 10.0),
+        ("c2", 0, 1, 5.0),
+        ("c2", 0, 2, 20.0),
+    ]
+    assert _rows(got, cols) == sorted(expected)
