@@ -426,6 +426,16 @@ def _q_turn_replies_streamed(spark, sf):
     return parity.streamed_turn_replies(spark, sf)
 
 
+def _q_turn_replies_outer_streamed(spark, sf):
+    """T56: LEFT OUTER stream-stream range join — reply-less user
+    turns emit null-padded via the built-in operator's watermark-driven
+    state eviction (the native analog of the matcher's
+    evicted_unmatched rows)."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_turn_replies_outer(spark, sf)
+
+
 def _q_tool_rate_peak(spark, sf):
     """T54 batch form: window-on-window rollup — per-tool 1m counts
     re-aggregated into 10m peak/total/active-minute blocks."""
@@ -453,6 +463,12 @@ def _replies_oracle() -> str:
     from stellar_etl_spark.streaming.replies import TURN_REPLIES_ORACLE_SQL
 
     return TURN_REPLIES_ORACLE_SQL
+
+
+def _replies_outer_oracle() -> str:
+    from stellar_etl_spark.streaming.replies import TURN_REPLIES_OUTER_ORACLE_SQL
+
+    return TURN_REPLIES_OUTER_ORACLE_SQL
 
 
 def _retrieve_rerank_oracle() -> str:
@@ -742,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieve_rerank": _q_retrieve_rerank,
         "tool_pagerank": _q_tool_pagerank,
         "turn_replies_streamed": _q_turn_replies_streamed,
+        "turn_replies_outer_streamed": _q_turn_replies_outer_streamed,
         "tool_rate_peak": _q_tool_rate_peak,
         "tool_rate_peak_streamed": _q_tool_rate_peak_streamed,
         "turn_dedup_streamed": _q_turn_dedup_streamed,
@@ -900,6 +917,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieve_rerank": _retrieve_rerank_oracle(),
         "tool_pagerank": _W + journeys.tool_pagerank_oracle_sql(),
         "turn_replies_streamed": _W + _replies_oracle(),
+        "turn_replies_outer_streamed": _W + _replies_outer_oracle(),
         "tool_rate_peak": _W + rollups.PEAK_ORACLE_SQL,
         "tool_rate_peak_streamed": _W + rollups.PEAK_ORACLE_SQL,
         "turn_dedup_streamed": _W

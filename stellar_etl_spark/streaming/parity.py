@@ -1378,3 +1378,37 @@ def streamed_turn_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     out = _drain_append(deduped, "turn_dedup")
     return spark.read.parquet(out).filter(F.col("conv_id") != CLOSER_CONV)
+
+
+def streamed_turn_replies_outer(
+    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT
+) -> DataFrame:
+    """The LEFT OUTER stream-stream range join drained over the sliced
+    driver input: matched rows emit inline; reply-less user turns emit
+    null-padded ONLY when the closer sentinels push the final
+    watermark past their window (the built-in operator's state
+    eviction — the native analog of the matcher's evicted_unmatched).
+    Oracle: the batch LEFT JOIN (TURN_REPLIES_OUTER_ORACLE_SQL)."""
+    from stellar_etl_spark.streaming.replies import reply_join_outer_stream
+
+    src_dir = _slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_replies_outer_")
+    parity_cfg = EngineConfig(watermark_delay=PARITY_DELAY)
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+    )
+    with _drain_conf(spark):
+        q = (
+            reply_join_outer_stream(stream, parity_cfg)
+            .writeStream.queryName("parity_replies_outer")
+            .outputMode("append")
+            .format("parquet")
+            .option("path", os.path.join(work, "out"))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(os.path.join(work, "out")).filter(
+        F.col("conv_id") != CLOSER_CONV
+    )

@@ -100,3 +100,61 @@ TURN_REPLIES_ORACLE_SQL = f"""
      AND a.turn_idx > u.turn_idx
      AND a.ts >= u.ts AND a.ts <= u.ts + {REPLY_WINDOW_SQL}
 """
+
+
+def reply_join_outer_stream(df: DataFrame, cfg: EngineConfig = DEFAULT) -> DataFrame:
+    """LEFT OUTER form of the reply join: every user turn, paired with
+    each assistant turn of its conversation in the following
+    REPLY_WINDOW — or with NULLs if none exists. The outer semantics
+    is the native feature under test: Spark may emit a null-padded row
+    only once the watermark proves no matching right-side row can
+    still arrive (matched rows emit immediately; the null rows ride
+    the state-eviction pass — the matcher's evicted_unmatched rows,
+    produced by the built-in join operator instead of custom timeout
+    code).
+
+    The condition is the PURE equi+time-range shape (no turn-order
+    predicate, and none applied later either: for the outer form a
+    serve-time filter would be unsound — dropping a matched row cannot
+    conjure the null row the batch LEFT JOIN would have produced). The
+    operator's meaning is exactly 'assistant activity within the
+    window after each user turn'."""
+    wm = df.withWatermark("ts", cfg.watermark_delay)
+    u = wm.filter(F.col("role") == "user").select(
+        F.col("conv_id").alias("u_conv"),
+        F.col("turn_idx").alias("user_idx"),
+        F.col("ts").alias("u_ts"),
+    )
+    a = wm.filter(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("a_conv"),
+        F.col("turn_idx").alias("reply_idx"),
+        F.col("ts").alias("a_ts"),
+    )
+    j = u.join(
+        a,
+        F.expr(
+            f"a_conv = u_conv AND a_ts >= u_ts"
+            f" AND a_ts <= u_ts + {REPLY_WINDOW_SQL}"
+        ),
+        "leftOuter",
+    )
+    return j.select(
+        F.col("u_conv").alias("conv_id"),
+        "user_idx",
+        "reply_idx",
+        (F.col("a_ts").cast("double") - F.col("u_ts").cast("double")).alias(
+            "reply_delay_s"
+        ),
+    )
+
+
+TURN_REPLIES_OUTER_ORACLE_SQL = f"""
+    SELECT u.conv_id, u.turn_idx AS user_idx, a.turn_idx AS reply_idx,
+           epoch(a.ts) - epoch(u.ts) AS reply_delay_s
+    FROM transcripts u
+    LEFT JOIN transcripts a
+      ON a.conv_id = u.conv_id
+     AND a.role = 'assistant'
+     AND a.ts >= u.ts AND a.ts <= u.ts + {REPLY_WINDOW_SQL}
+    WHERE u.role = 'user'
+"""
