@@ -416,6 +416,13 @@ def _q_tool_pagerank(spark, sf):
     return journeys.tool_pagerank(_T(spark, sf))
 
 
+def _q_conv_funnel(spark, sf):
+    """T57: ordered conversion funnel (CEP user->assistant->tool with
+    per-stage 1h horizon) as a one-shuffle sorted-fold state machine;
+    oracle = MIN(ts)-chaining CTEs."""
+    return journeys.conv_funnel(_T(spark, sf))
+
+
 def _q_turn_replies_streamed(spark, sf):
     """T53/J7 streamed: Spark's native symmetric-hash stream-stream
     join — the watermarked turn stream self-joined on conv_id with an
@@ -762,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_rate_peak": _q_tool_rate_peak,
         "tool_rate_peak_streamed": _q_tool_rate_peak_streamed,
         "turn_dedup_streamed": _q_turn_dedup_streamed,
+        "conv_funnel": _q_conv_funnel,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -916,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "burst_concurrency": _W + intervals.BURST_CONCURRENCY_ORACLE_SQL,
         "retrieve_rerank": _retrieve_rerank_oracle(),
         "tool_pagerank": _W + journeys.tool_pagerank_oracle_sql(),
+        "conv_funnel": _W + journeys.FUNNEL_ORACLE_SQL,
         "turn_replies_streamed": _W + _replies_oracle(),
         "turn_replies_outer_streamed": _W + _replies_outer_oracle(),
         "tool_rate_peak": _W + rollups.PEAK_ORACLE_SQL,

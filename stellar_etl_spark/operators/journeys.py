@@ -359,3 +359,113 @@ def tool_pagerank_oracle_sql() -> str:
     SELECT node AS tool, CAST(r AS BIGINT) AS pagerank_micro FROM prfinal
 """
     )
+
+
+# --- ordered conversion funnel (CEP: user -> assistant -> tool) -------------
+# Per-stage time horizon. First-touch semantics: each stage matches the
+# EARLIEST qualifying turn; later user turns never re-arm the funnel.
+FUNNEL_HORIZON = "INTERVAL 1 HOUR"
+
+# Tie-order at equal ts: the stage-k event sorts before any stage-k+1
+# candidate at the same instant, so the fold's "first qualifying turn in
+# scan order" equals SQL's "MIN(ts) >= previous stage ts".
+_ROLE_PRI = "CASE role WHEN 'user' THEN 0 WHEN 'assistant' THEN 1 WHEN 'tool' THEN 2 ELSE 3 END"
+
+
+def conv_funnel(df: DataFrame) -> DataFrame:
+    """Ordered conversion funnel over each conversation: the classic
+    CEP / MATCH_RECOGNIZE pattern `user -> assistant -> tool` where
+    each stage must occur within FUNNEL_HORIZON of the previous one.
+    One row per conversation: the stage reached (0-3) and the event
+    time of each matched stage.
+
+    Reference analog: the reference sequences operations within a
+    ledger close via the TOID's (ledger, tx, op) ordering
+    (/root/reference/internal/toid/main.go:32-56); a funnel asks the
+    longitudinal version — did the ordered pattern complete, and when.
+
+    Execution shape: ONE shuffle (groupBy conv_id), then a row-local
+    sorted-fold state machine — `sort_array(collect_list(struct))`
+    followed by an `aggregate()` higher-order fold whose accumulator
+    is (stage, s1, s2, s3). Entirely JVM-side (no Python, no window
+    sort over the corpus); per-conversation memory is the turn list,
+    the same bound every per-conv operator here has. On the bucketed
+    store (sources/bucketed.py) the shuffle disappears.
+
+    Cross-engine determinism: the fold scans turns in (ts, role_pri,
+    turn_idx) order; at equal ts a user turn sorts before the
+    assistant turn it could arm (see _ROLE_PRI), which makes the
+    fold's first-match equal to the oracle's MIN(ts)-chaining CTEs —
+    no float arithmetic anywhere, timestamps compare exactly.
+    """
+    turns = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("ts"),
+                F.expr(_ROLE_PRI).cast("int").alias("pri"),
+                F.col("turn_idx"),
+                F.col("role"),
+            )
+        )
+    )
+    fold = f"""aggregate(
+      turns,
+      named_struct('stage', 0, 's1', CAST(NULL AS TIMESTAMP),
+                   's2', CAST(NULL AS TIMESTAMP), 's3', CAST(NULL AS TIMESTAMP)),
+      (acc, t) -> CASE
+        WHEN acc.stage = 0 AND t.role = 'user'
+          THEN named_struct('stage', 1, 's1', t.ts, 's2', acc.s2, 's3', acc.s3)
+        WHEN acc.stage = 1 AND t.role = 'assistant'
+             AND t.ts <= acc.s1 + {FUNNEL_HORIZON}
+          THEN named_struct('stage', 2, 's1', acc.s1, 's2', t.ts, 's3', acc.s3)
+        WHEN acc.stage = 2 AND t.role = 'tool'
+             AND t.ts <= acc.s2 + {FUNNEL_HORIZON}
+          THEN named_struct('stage', 3, 's1', acc.s1, 's2', acc.s2, 's3', t.ts)
+        ELSE acc END)"""
+    return (
+        df.groupBy("conv_id")
+        .agg(turns.alias("turns"))
+        .select("conv_id", F.expr(fold).alias("f"))
+        .select(
+            "conv_id",
+            F.col("f.stage").cast("int").alias("stage_reached"),
+            F.col("f.s1").alias("s1_ts"),
+            F.col("f.s2").alias("s2_ts"),
+            F.col("f.s3").alias("s3_ts"),
+        )
+    )
+
+
+# MIN(ts)-chaining oracle: stage k+1 = earliest qualifying turn at or
+# after stage k's instant and within the horizon. Equal to the fold by
+# the tie-order argument in conv_funnel's docstring.
+FUNNEL_ORACLE_SQL = f"""
+    , f1 AS (
+      SELECT conv_id, MIN(ts) AS s1 FROM transcripts
+      WHERE role = 'user' GROUP BY conv_id
+    ), f2 AS (
+      SELECT t.conv_id, MIN(t.ts) AS s2
+      FROM transcripts t JOIN f1 ON t.conv_id = f1.conv_id
+      WHERE t.role = 'assistant' AND t.ts >= f1.s1
+        AND t.ts <= f1.s1 + {FUNNEL_HORIZON}
+      GROUP BY t.conv_id
+    ), f3 AS (
+      SELECT t.conv_id, MIN(t.ts) AS s3
+      FROM transcripts t JOIN f2 ON t.conv_id = f2.conv_id
+      WHERE t.role = 'tool' AND t.ts >= f2.s2
+        AND t.ts <= f2.s2 + {FUNNEL_HORIZON}
+      GROUP BY t.conv_id
+    ), fconvs AS (
+      SELECT DISTINCT conv_id FROM transcripts
+    )
+    SELECT c.conv_id,
+           CAST(CASE WHEN f3.s3 IS NOT NULL THEN 3
+                     WHEN f2.s2 IS NOT NULL THEN 2
+                     WHEN f1.s1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage_reached,
+           f1.s1 AS s1_ts, f2.s2 AS s2_ts, f3.s3 AS s3_ts
+    FROM fconvs c
+    LEFT JOIN f1 ON c.conv_id = f1.conv_id
+    LEFT JOIN f2 ON c.conv_id = f2.conv_id
+    LEFT JOIN f3 ON c.conv_id = f3.conv_id
+"""

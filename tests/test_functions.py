@@ -687,3 +687,51 @@ def test_semdedup_exact_recall_and_keep_rule(spark):
     caught = [v for v in planted if (v - 10000) in neigh[v]]
     assert len(caught) >= 40  # 50 planted at sf0.001; near-all same-cluster
     assert sum(1 for v in ids if not got[v]["keep"]) >= len(caught)
+
+
+def test_conv_funnel_stages_and_horizon(spark):
+    """CEP funnel semantics: first-touch arming, per-stage 1h horizon,
+    equal-ts tie-order (user before assistant at the same instant),
+    pre-arm assistant turns ignored, no re-arm on later user turns."""
+    import pyspark.sql.functions as F
+
+    from stellar_etl_spark.operators import journeys
+
+    rows = []
+    # conv full: user@0 -> assistant@60 -> tool@120: stage 3
+    rows += [("full", 0, "user", 0.0), ("full", 1, "assistant", 60.0),
+             ("full", 2, "tool", 120.0)]
+    # conv late2: assistant arrives 3601s after the first user turn
+    # (beyond the 1h horizon) -> stuck at stage 1; a later user turn
+    # must NOT re-arm the clock for the in-horizon assistant after it
+    rows += [("late2", 0, "user", 0.0), ("late2", 1, "user", 3000.0),
+             ("late2", 2, "assistant", 3601.0)]
+    # conv pre: assistant BEFORE any user turn doesn't count; the one
+    # after does; no tool turn -> stage 2
+    rows += [("pre", 0, "assistant", 0.0), ("pre", 1, "user", 10.0),
+             ("pre", 2, "assistant", 20.0)]
+    # conv tie: assistant at the SAME ts as the first user turn counts
+    # (ts >= s1), and the tool exactly at the horizon boundary counts
+    rows += [("tie", 0, "user", 50.0), ("tie", 1, "assistant", 50.0),
+             ("tie", 2, "tool", 50.0 + 3600.0)]
+    # conv none: system/tool only -> stage 0, all stage ts NULL
+    rows += [("none", 0, "system", 0.0), ("none", 1, "tool", 1.0)]
+    df = (
+        spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, sec double"
+        )
+        .withColumn("ts", F.col("sec").cast("timestamp"))
+        .withColumn("text", F.lit("t"))
+        .withColumn("tool", F.lit(None).cast("string"))
+        .drop("sec")
+    )
+    got = {r["conv_id"]: r for r in journeys.conv_funnel(df).collect()}
+    assert got["full"]["stage_reached"] == 3
+    assert got["late2"]["stage_reached"] == 1
+    assert got["late2"]["s2_ts"] is None
+    assert got["pre"]["stage_reached"] == 2
+    assert got["pre"]["s2_ts"].timestamp() == 20.0
+    assert got["tie"]["stage_reached"] == 3
+    assert got["tie"]["s2_ts"].timestamp() == 50.0
+    assert got["none"]["stage_reached"] == 0
+    assert got["none"]["s1_ts"] is None
