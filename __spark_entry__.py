@@ -416,6 +416,13 @@ def _q_tool_pagerank(spark, sf):
     return journeys.tool_pagerank(_T(spark, sf))
 
 
+def _q_curriculum_buckets(spark, sf):
+    """T58: curriculum decile binning by exact value-quantile
+    boundaries — histogram over the score DOMAIN + broadcast bounds;
+    the corpus is never sorted. Oracle shares the integer gate."""
+    return fcur.curriculum_buckets(_C(spark, sf))
+
+
 def _q_conv_funnel(spark, sf):
     """T57: ordered conversion funnel (CEP user->assistant->tool with
     per-stage 1h horizon) as a one-shuffle sorted-fold state machine;
@@ -770,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_rate_peak_streamed": _q_tool_rate_peak_streamed,
         "turn_dedup_streamed": _q_turn_dedup_streamed,
         "conv_funnel": _q_conv_funnel,
+        "curriculum_buckets": _q_curriculum_buckets,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -925,6 +933,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieve_rerank": _retrieve_rerank_oracle(),
         "tool_pagerank": _W + journeys.tool_pagerank_oracle_sql(),
         "conv_funnel": _W + journeys.FUNNEL_ORACLE_SQL,
+        "curriculum_buckets": fcur.curriculum_buckets_oracle(fcorpus.CORPUS_CTE),
         "turn_replies_streamed": _W + _replies_oracle(),
         "turn_replies_outer_streamed": _W + _replies_outer_oracle(),
         "tool_rate_peak": _W + rollups.PEAK_ORACLE_SQL,

