@@ -423,6 +423,13 @@ def _q_curriculum_buckets(spark, sf):
     return fcur.curriculum_buckets(_C(spark, sf))
 
 
+def _q_domain_topk_sample(spark, sf):
+    """T59: fixed-size per-stratum reservoir sample (K smallest salted
+    hashes) with two-phase top-k so a giant stratum never funnels
+    through one window partition; oracle = single-window ROW_NUMBER."""
+    return fcur.domain_topk_sample(_C(spark, sf))
+
+
 def _q_conv_funnel(spark, sf):
     """T57: ordered conversion funnel (CEP user->assistant->tool with
     per-stage 1h horizon) as a one-shuffle sorted-fold state machine;
@@ -778,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_dedup_streamed": _q_turn_dedup_streamed,
         "conv_funnel": _q_conv_funnel,
         "curriculum_buckets": _q_curriculum_buckets,
+        "domain_topk_sample": _q_domain_topk_sample,
         # (3) streaming-stack parity: the streaming engine itself behind
         # the exact value oracles (stream==batch, re-gated every round)
         "turn_pairs_streamed": _q_turn_pairs_streamed,
@@ -934,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "tool_pagerank": _W + journeys.tool_pagerank_oracle_sql(),
         "conv_funnel": _W + journeys.FUNNEL_ORACLE_SQL,
         "curriculum_buckets": fcur.curriculum_buckets_oracle(fcorpus.CORPUS_CTE),
+        "domain_topk_sample": fcur.domain_topk_sample_oracle(fcorpus.CORPUS_CTE),
         "turn_replies_streamed": _W + _replies_oracle(),
         "turn_replies_outer_streamed": _W + _replies_outer_oracle(),
         "tool_rate_peak": _W + rollups.PEAK_ORACLE_SQL,

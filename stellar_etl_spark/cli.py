@@ -101,6 +101,8 @@ def _doc_tables():
         "bm25_topk": fret.bm25_topk,
         "corpus_profile": fprof.corpus_profile,
         "corpus_sample": fcur.stratified_sample,
+        "domain_topk_sample": fcur.domain_topk_sample,
+        "curriculum_buckets": fcur.curriculum_buckets,
         "corpus_split": fcur.corpus_split,
         "domain_mix_weights": fcur.domain_mix_weights,
         "doc_top_terms": fcur.doc_top_terms,

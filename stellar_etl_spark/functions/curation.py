@@ -579,3 +579,60 @@ cbb AS (SELECT {bcols} FROM cbc CROSS JOIN cbn)
 SELECT doc_id, score, CAST(1 + {badd} AS INT) AS bucket
 FROM cbs CROSS JOIN cbb
 """
+
+
+# --- fixed-size per-stratum sample (distributed reservoir) -------------------
+# The fixed-SIZE complement of stratified_sample's fixed-RATE gate:
+# exactly K docs per (lang, source) stratum, chosen as the K smallest
+# values of a salted hash — i.e. a uniform reservoir sample that is a
+# pure function of the data (re-runs, re-partitions and incremental
+# backfills all pick the same K docs; growing K only ADDS docs).
+TOPK_SAMPLE_K = 20
+TOPK_SAMPLE_FANOUT = 64
+
+
+def _topk_hash(spark: bool) -> str:
+    cast = "STRING" if spark else "VARCHAR"
+    key = (f"concat('topk:', CAST(doc_id AS {cast}), ':', lang, ':', source)")
+    return H.char_hash(key, spark)
+
+
+def domain_topk_sample(docs: DataFrame) -> DataFrame:
+    """Exactly TOPK_SAMPLE_K docs per (lang, source) stratum: the K
+    smallest salted-hash values, ties impossible (hash ties broken by
+    doc_id). Two-phase top-k: a per-(stratum, hash-bucket) local
+    window bounds the rows entering the final per-stratum window at
+    FANOUT*K, so a giant stratum (at corpus scale one (lang, source)
+    pair can hold billions of docs) never funnels through a single
+    window partition. Both phases share one total order, so the result
+    equals the oracle's single window for any fanout."""
+    h = F.expr(_topk_hash(spark=True)).cast("long")
+    scored = docs.select("doc_id", "lang", "source", h.alias("sample_h"))
+    order = [F.asc("sample_h"), F.asc("doc_id")]
+    local = Window.partitionBy(
+        "lang", "source", F.pmod(F.hash("doc_id"), F.lit(TOPK_SAMPLE_FANOUT))
+    ).orderBy(*order)
+    w = Window.partitionBy("lang", "source").orderBy(*order)
+    return (
+        scored.withColumn("lr", F.row_number().over(local))
+        .filter(F.col("lr") <= TOPK_SAMPLE_K)
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= TOPK_SAMPLE_K)
+        .select("lang", "source", "doc_id", "sample_h", "sample_rank")
+    )
+
+
+def domain_topk_sample_oracle(corpus_cte: str) -> str:
+    h = _topk_hash(spark=False)
+    return f"""WITH {corpus_cte},
+tks AS (
+  SELECT doc_id, lang, source, CAST({h} AS BIGINT) AS sample_h FROM corpus
+),
+tkr AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang, source
+                                    ORDER BY sample_h, doc_id) AS INT) AS sample_rank
+  FROM tks
+)
+SELECT lang, source, doc_id, sample_h, sample_rank
+FROM tkr WHERE sample_rank <= {TOPK_SAMPLE_K}
+"""

@@ -221,6 +221,8 @@ def test_cli_doc_table_exports(spark, tmp_path):
     for cmd, table in [
         ("export-quality-funnel", "quality_funnel"),
         ("export-corpus-sample", "corpus_sample"),
+        ("export-domain-topk-sample", "domain_topk_sample"),
+        ("export-curriculum-buckets", "curriculum_buckets"),
         ("export-doc-top-terms", "doc_top_terms"),
         ("export-doc-repetition", "doc_repetition"),
         ("export-decontaminate", "decontaminate"),

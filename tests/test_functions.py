@@ -753,3 +753,45 @@ def test_curriculum_buckets_monotone_and_complete(spark, corpus):
     scores = sorted(by_score)
     buckets = [min(by_score[s]) for s in scores]
     assert buckets == sorted(buckets)  # monotone in score
+
+
+def test_domain_topk_sample_exact_k_stable_and_growing(spark, corpus):
+    """Exactly min(K, |stratum|) docs per (lang, source); membership is
+    a pure function of the data (partitioning-independent); the local
+    two-phase top-k equals the single-window semantics for any fanout;
+    growing K only ADDS docs (reservoir nesting)."""
+    from stellar_etl_spark.functions import curation as fcur
+
+    rows = fcur.domain_topk_sample(corpus).collect()
+    sizes = {}
+    for r in rows:
+        sizes[(r["lang"], r["source"])] = sizes.get((r["lang"], r["source"]), 0) + 1
+    totals = {(r["lang"], r["source"]): r["count"]
+              for r in corpus.groupBy("lang", "source").count().collect()}
+    for key, n in sizes.items():
+        assert n == min(fcur.TOPK_SAMPLE_K, totals[key]), (key, n)
+    assert set(sizes) == {k for k, v in totals.items() if v > 0}
+
+    a = {r["doc_id"] for r in rows}
+    b = {r["doc_id"] for r in
+         fcur.domain_topk_sample(corpus.repartition(13)).collect()}
+    assert a == b  # membership independent of partitioning
+
+    # fanout-independence: degenerate fanout=1 equals the default plan
+    orig_fan = fcur.TOPK_SAMPLE_FANOUT
+    orig_k = fcur.TOPK_SAMPLE_K
+    try:
+        fcur.TOPK_SAMPLE_FANOUT = 1
+        c = {(r["doc_id"], r["sample_rank"])
+             for r in fcur.domain_topk_sample(corpus).collect()}
+        fcur.TOPK_SAMPLE_FANOUT = orig_fan
+        d = {(r["doc_id"], r["sample_rank"])
+             for r in fcur.domain_topk_sample(corpus).collect()}
+        assert c == d
+
+        fcur.TOPK_SAMPLE_K = orig_k + 15
+        grown = {r["doc_id"] for r in fcur.domain_topk_sample(corpus).collect()}
+    finally:
+        fcur.TOPK_SAMPLE_FANOUT = orig_fan
+        fcur.TOPK_SAMPLE_K = orig_k
+    assert a < grown  # growing K only adds docs
