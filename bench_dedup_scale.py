@@ -62,6 +62,11 @@ QUERIES = (
     "doc_top_terms",
     "doc_repetition",
     "semdedup",
+    # closing-wave round-4 doc-family queries
+    "bm25_topk",
+    "retrieve_rerank",
+    "curriculum_buckets",
+    "domain_topk_sample",
 )
 
 
