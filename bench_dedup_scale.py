@@ -70,6 +70,12 @@ QUERIES = (
 )
 
 
+# optional comma-list override, e.g. a 100x spot-check on a subset:
+#   SPARK_GRAFT_DEDUP_REPLICAS=100 SPARK_GRAFT_SCALE_QUERIES=dedup_minhash_lsh ...
+_q_env = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+if _q_env:
+    QUERIES = tuple(q.strip() for q in _q_env.split(",") if q.strip())
+
 MARKER_TAG = f"{REPLICAS}-labels-v2"  # bump when the synthesis changes
 
 
@@ -168,6 +174,7 @@ def main() -> None:
             "doc_containment",
             "dup_spans",
         )
+        if n in qs
     }
 
     out = {

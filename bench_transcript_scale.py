@@ -83,6 +83,12 @@ QUERIES = (
     "burst_concurrency",     # binned interval-overlap join
 )
 
+# optional comma-list override, e.g. a 100x spot-check on a subset:
+#   SPARK_GRAFT_SCALE_REPLICAS=100 SPARK_GRAFT_SCALE_QUERIES=sessions,turn_pairs ...
+_q_env = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+if _q_env:
+    QUERIES = tuple(q.strip() for q in _q_env.split(",") if q.strip())
+
 MARKER_TAG = f"{REPLICAS}-events-v1"
 
 
@@ -146,15 +152,18 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     def observables(sf_dir: str) -> dict[str, int]:
-        return {
-            "sessions_rows": qs["sessions"](spark, sf_dir).count(),
-            "turn_pairs_rows": qs["turn_pairs"](spark, sf_dir).count(),
-            "burst_overlap_pairs": (
+        out: dict[str, int] = {}
+        if "sessions" in qs:
+            out["sessions_rows"] = qs["sessions"](spark, sf_dir).count()
+        if "turn_pairs" in qs:
+            out["turn_pairs_rows"] = qs["turn_pairs"](spark, sf_dir).count()
+        if "burst_concurrency" in qs:
+            out["burst_overlap_pairs"] = (
                 qs["burst_concurrency"](spark, sf_dir)
                 .agg(F.sum("n_concurrent"))
                 .collect()[0][0]
-            ),
-        }
+            )
+        return out
 
     obs = {"x1": observables(SF_DIR), f"x{REPLICAS}": observables(scaled)}
 
