@@ -168,14 +168,14 @@ def main() -> None:
     obs = {"x1": observables(SF_DIR), f"x{REPLICAS}": observables(scaled)}
 
     out = {
-        "metric": "transcript_wall_ratio_10x_over_1x",
-        "unit": "ratio (10 = linear, 100 = quadratic)",
+        "metric": f"transcript_wall_ratio_{REPLICAS}x_over_1x",
+        "unit": f"ratio ({REPLICAS} = linear, {REPLICAS * REPLICAS} = quadratic)",
         "replicas": REPLICAS,
         "reps_per_query": REPS,
         "queries": {
             n: {
                 "x1_sec": base[n],
-                "x10_sec": big[n],
+                f"x{REPLICAS}_sec": big[n],
                 "ratio": round(big[n] / base[n], 2) if base[n] else None,
             }
             for n in qs
