@@ -72,6 +72,11 @@ QUERIES = (
 
 # optional comma-list override, e.g. a 100x spot-check on a subset:
 #   SPARK_GRAFT_DEDUP_REPLICAS=100 SPARK_GRAFT_SCALE_QUERIES=dedup_minhash_lsh ...
+# CAVEAT: the embedding replicas decorrelate via cyclic dim rotation, so
+# replicas r and r+64 (the embedding dim) get IDENTICAL vectors — the
+# embedding/ANN family (dedup_embedding, semdedup, ann_*) is only a valid
+# scale measurement at REPLICAS <= 64; the token-suffixed text family is
+# valid at any replica count.
 _q_env = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
 if _q_env:
     QUERIES = tuple(q.strip() for q in _q_env.split(",") if q.strip())
@@ -166,7 +171,10 @@ def main() -> None:
     # observable output sizes (dup pairs found) at both scales: candidate
     # growth, not just wall time
     rows = {
-        n: {"x1": qs[n](spark, SF_DIR).count(), "x10": qs[n](spark, scaled).count()}
+        n: {
+            "x1": qs[n](spark, SF_DIR).count(),
+            f"x{REPLICAS}": qs[n](spark, scaled).count(),
+        }
         for n in (
             "dedup_minhash_lsh",
             "dedup_ngram_jaccard",
