@@ -33,6 +33,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 INPUT_DIR = os.environ.get("SPARK_GRAFT_STREAM_INPUT", "/tmp/spark_graft_stream_input")
 N_CONVS = int(os.environ.get("SPARK_GRAFT_STREAM_CONVS", "100000"))
+# scale the FILE count with the conv count so micro-batch SIZE stays
+# constant across stream lengths: a 10x-convs run then measures 10x
+# MORE same-sized batches (sustained throughput, comparable p50/p95),
+# not 10x-bigger batches (which would conflate batch sizing with rate)
+N_FILES = int(os.environ.get("SPARK_GRAFT_STREAM_FILES", str(max(64, 64 * N_CONVS // 100000))))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 FILES_PER_TRIGGER = 4
 # "hdfs" (default in-memory HDFS-backed provider) or "rocksdb" — the
@@ -42,7 +47,7 @@ STATE_STORE = os.environ.get("SPARK_GRAFT_STATE_STORE", "hdfs")
 
 
 def ensure_input() -> int:
-    marker = os.path.join(INPUT_DIR, f".complete-{N_CONVS}")
+    marker = os.path.join(INPUT_DIR, f".complete-{N_CONVS}-{N_FILES}")
     if os.path.exists(marker):
         with open(marker) as f:
             return int(f.read())
@@ -52,10 +57,24 @@ def ensure_input() -> int:
         os.remove(p)
     from stellar_etl_spark.sources.generator import write_transcripts
 
-    n = write_transcripts(INPUT_DIR, n_convs=N_CONVS, n_files=64)
+    n = write_transcripts(INPUT_DIR, n_convs=N_CONVS, n_files=N_FILES)
     with open(marker, "w") as f:
         f.write(str(n))
     return n
+
+
+def _io_stall_us() -> int | None:
+    """Cumulative host IO-stall exposure (us): /proc/pressure/io 'full total'.
+    The delta across the run attributes tail batches to hypervisor disk
+    stalls (documented on this VM) vs engine cost."""
+    try:
+        with open("/proc/pressure/io") as f:
+            for line in f:
+                if line.startswith("full"):
+                    return int(line.rsplit("total=", 1)[1])
+    except OSError:
+        return None
+    return None
 
 
 def main() -> None:
@@ -109,6 +128,7 @@ def main() -> None:
     spark.streams.addListener(listener)
     work = tempfile.mkdtemp(prefix="stream_bench_")
     try:
+        io0 = _io_stall_us()
         t0 = time.perf_counter()
         queries = []
         for name, build in [
@@ -126,6 +146,7 @@ def main() -> None:
             ))
         ok = all(q.awaitTermination(1800) for q in queries)
         wall = time.perf_counter() - t0
+        io1 = _io_stall_us()
     finally:
         spark.streams.removeListener(listener)
         shutil.rmtree(work, ignore_errors=True)
@@ -145,8 +166,16 @@ def main() -> None:
         "p95_batch_ms": p95,
         "max_state_rows": max((b.state_rows for b in batches), default=0),
         "files_per_trigger": FILES_PER_TRIGGER,
+        "n_files": N_FILES,
         "cpus": CPUS,
         "state_store": STATE_STORE,
+        "io_stall_sec_during_run": (
+            round((io1 - io0) / 1e6, 1) if io0 is not None and io1 is not None else None
+        ),
+        # chronological per-batch trigger durations (ms), both queries
+        # interleaved — lets a fat tail be located in time, not just sized
+        "batch_durations_ms": [b.duration_ms for b in listener.collector.batches
+                               if b.num_input_rows > 0],
         "completed": ok,
     }))
     spark.stop()
