@@ -63,6 +63,19 @@ def ensure_input() -> int:
     return n
 
 
+def _steal_cs() -> int | None:
+    """Cumulative hypervisor steal time (centiseconds, summed over all
+    cpus): field 8 of the aggregate 'cpu ' line in /proc/stat. The delta
+    across the run measures how much host time the VM simply did not get
+    — the SCALING_r0x protocol's contamination telemetry, applied here."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def _io_stall_us() -> int | None:
     """Cumulative host IO-stall exposure (us): /proc/pressure/io 'full total'.
     The delta across the run attributes tail batches to hypervisor disk
@@ -116,6 +129,9 @@ def main() -> None:
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # e.g. -Xlog:gc*:file=/tmp/gc.log for pause attribution
+        .config("spark.driver.extraJavaOptions",
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", ""))
         .config(map=builder_extra)
         .getOrCreate()
     )
@@ -129,6 +145,7 @@ def main() -> None:
     work = tempfile.mkdtemp(prefix="stream_bench_")
     try:
         io0 = _io_stall_us()
+        st0 = _steal_cs()
         t0 = time.perf_counter()
         queries = []
         for name, build in [
@@ -147,6 +164,7 @@ def main() -> None:
         ok = all(q.awaitTermination(1800) for q in queries)
         wall = time.perf_counter() - t0
         io1 = _io_stall_us()
+        st1 = _steal_cs()
     finally:
         spark.streams.removeListener(listener)
         shutil.rmtree(work, ignore_errors=True)
@@ -169,6 +187,9 @@ def main() -> None:
         "n_files": N_FILES,
         "cpus": CPUS,
         "state_store": STATE_STORE,
+        "steal_core_sec_during_run": (
+            round((st1 - st0) / 100.0, 1) if st0 is not None and st1 is not None else None
+        ),
         "io_stall_sec_during_run": (
             round((io1 - io0) / 1e6, 1) if io0 is not None and io1 is not None else None
         ),
