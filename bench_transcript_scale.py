@@ -106,10 +106,14 @@ def ensure_scaled_input(spark) -> str:
 
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     r = F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("r")
+    # r as BIGINT: at REPLICAS >= 2148 the int32 product r * 1_000_000
+    # crosses 2^31 and ANSI mode (Spark 4 default) raises rather than
+    # wraps; the id columns are int64, so widen before multiplying
+    rl = F.col("r").cast("long")
     scaled = ev.select("event_id", "ts", "user_id", "event_type", "value", "props", r).select(
-        (F.col("event_id") + F.col("r") * 1_000_000).alias("event_id"),
+        (F.col("event_id") + rl * 1_000_000).alias("event_id"),
         "ts",
-        (F.col("user_id") + F.col("r") * 10_000).alias("user_id"),
+        (F.col("user_id") + rl * 10_000).alias("user_id"),
         "event_type",
         "value",
         "props",
