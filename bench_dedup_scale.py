@@ -21,10 +21,13 @@ shape changes instead of the scale:
     functions/corpus.load_corpus (their count scales exactly 10x
     because the mutation keys on doc_id % 10 and r*1_000_000 % 10 == 0).
   * embeddings: replica r gets vec_id + r*1_000_000 and the 64-dim
-    vector cyclically rotated by r dims — norms are preserved, the
-    planted near-pairs (vec_id % 10 == 0, +perturbation) rotate
-    together so their cosine is unchanged, and cross-replica cosines
-    are those of independent-ish vectors (far below the 0.98 gate).
+    vector cyclically rotated by r dims THEN sign-flipped per
+    (replica, dim) by murmur3 parity — both factors orthogonal, so
+    norms are preserved and the planted near-pairs (vec_id % 10 == 0,
+    +perturbation) transform together (cosine unchanged), while
+    cross-replica cosines are those of independent-ish vectors (far
+    below the 0.98 gate). The sign flip breaks rotation's 64-dim
+    period, so replicas are distinct at any replica count.
 
 Prints ONE JSON line with per-query walls at both scales, the ratio,
 and candidate-pair counts where the operator exposes them.
@@ -72,16 +75,16 @@ QUERIES = (
 
 # optional comma-list override, e.g. a 100x spot-check on a subset:
 #   SPARK_GRAFT_DEDUP_REPLICAS=100 SPARK_GRAFT_SCALE_QUERIES=dedup_minhash_lsh ...
-# CAVEAT: the embedding replicas decorrelate via cyclic dim rotation, so
-# replicas r and r+64 (the embedding dim) get IDENTICAL vectors — the
-# embedding/ANN family (dedup_embedding, semdedup, ann_*) is only a valid
-# scale measurement at REPLICAS <= 64; the token-suffixed text family is
-# valid at any replica count.
+# Embedding replicas decorrelate via cyclic dim rotation COMPOSED WITH a
+# deterministic per-(replica, dim) sign flip (both orthogonal, so planted
+# pairs keep their cosine exactly); the sign pattern breaks the 64-dim
+# rotation period, so replicas are distinct at ANY replica count — the
+# former REPLICAS <= 64 validity cap on the embedding/ANN family is gone.
 _q_env = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
 if _q_env:
     QUERIES = tuple(q.strip() for q in _q_env.split(",") if q.strip())
 
-MARKER_TAG = f"{REPLICAS}-labels-v2"  # bump when the synthesis changes
+MARKER_TAG = f"{REPLICAS}-labels-v3"  # bump when the synthesis changes
 
 
 def ensure_scaled_input(spark) -> str:
@@ -119,20 +122,28 @@ def ensure_scaled_input(spark) -> str:
         )
         .withColumn("n_chars", F.length("text"))
     )
-    # cyclic dim rotation per replica: norm-preserving, planted pairs
-    # rotate together, cross-replica cosine is decorrelated. Labels are
-    # replica-disjoint (label + r*10): the rotated replicas ARE separate
-    # semantic regions, and this grows the cluster count with the corpus
-    # — the K ∝ N regime SemDeDup's scale story assumes (constant
-    # expected cluster size). With labels held fixed a 10x run would
-    # grow cluster SIZE 10x instead, measuring the wrong regime.
+    # per-replica orthogonal transform = cyclic dim rotation COMPOSED WITH
+    # a deterministic per-(replica, dim) sign flip (murmur3 hash(r, i)
+    # parity; replica 0 is the identity so the 1x corpus is a strict
+    # subset). Both factors are orthogonal: norms and planted-pair
+    # cosines are preserved exactly (both vectors of a pair share r, so
+    # they get the SAME matrix), while cross-replica cosine is
+    # decorrelated — and unlike rotation alone (period = dim = 64), the
+    # sign pattern makes replicas distinct at any count. Labels are
+    # replica-disjoint (label + r*10): the transformed replicas ARE
+    # separate semantic regions, and this grows the cluster count with
+    # the corpus — the K ∝ N regime SemDeDup's scale story assumes
+    # (constant expected cluster size). With labels held fixed a 10x run
+    # would grow cluster SIZE 10x instead, measuring the wrong regime.
     sembs = (
         embs.select("vec_id", "embedding", "label", r)
         .select(
             (F.col("vec_id") + F.col("r") * 1_000_000).alias("vec_id"),
             F.expr(
                 "transform(sequence(1, size(embedding)), "
-                "i -> element_at(embedding, ((i - 1 + r) % size(embedding)) + 1))"
+                "i -> element_at(embedding, ((i - 1 + r) % size(embedding)) + 1)"
+                " * cast(case when r = 0 then 1"
+                " else 1 - 2 * pmod(hash(r, i), 2) end as float))"
             ).alias("embedding"),
             (F.col("label") + F.col("r") * 10).alias("label"),
         )
