@@ -86,6 +86,20 @@ if _q_env:
 
 MARKER_TAG = f"{REPLICAS}-labels-v3"  # bump when the synthesis changes
 
+# Per-replica orthogonal transform over a row with columns (embedding, r):
+# cyclic rotation by r dims composed with a murmur3-parity sign flip per
+# (replica, dim). Properties guaranteed by orthogonality and TESTED in
+# tests/test_scale_replicas.py: r=0 is the identity, norms are preserved,
+# same-replica pair cosines are invariant (both vectors get the same
+# matrix), and replicas are pairwise distinct at any count (the sign
+# pattern breaks rotation's size(embedding)-period).
+EMB_REPLICA_EXPR = (
+    "transform(sequence(1, size(embedding)), "
+    "i -> element_at(embedding, ((i - 1 + r) % size(embedding)) + 1)"
+    " * cast(case when r = 0 then 1"
+    " else 1 - 2 * pmod(hash(r, i), 2) end as float))"
+)
+
 
 def ensure_scaled_input(spark) -> str:
     """Write the 10x corpus dir once (deterministic; reused across runs)."""
@@ -139,12 +153,7 @@ def ensure_scaled_input(spark) -> str:
         embs.select("vec_id", "embedding", "label", r)
         .select(
             (F.col("vec_id") + F.col("r") * 1_000_000).alias("vec_id"),
-            F.expr(
-                "transform(sequence(1, size(embedding)), "
-                "i -> element_at(embedding, ((i - 1 + r) % size(embedding)) + 1)"
-                " * cast(case when r = 0 then 1"
-                " else 1 - 2 * pmod(hash(r, i), 2) end as float))"
-            ).alias("embedding"),
+            F.expr(EMB_REPLICA_EXPR).alias("embedding"),
             (F.col("label") + F.col("r") * 10).alias("label"),
         )
     )
