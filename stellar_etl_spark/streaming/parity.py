@@ -79,14 +79,27 @@ N_SLICES = 6
 # drain-local override, not an engine default.
 DRAIN_PARTITIONS = "8"
 
+# Python-stateful drains (applyInPandasWithState) are bottlenecked by
+# per-GROUP Python overhead (~0.6-1.8 ms/group/batch: Arrow transfer +
+# state row codec per key), not by per-trigger scheduling, so they want
+# MORE state partitions than the JVM-agg drains. Measured at sf0.1
+# (best-of-2 per setting, isolated session): snapshot_ttl 18.4 s @ 8 ->
+# 12.0 s @ 16; error_bursts 11.4 -> 6.9; turn_pairs 8.9 -> 8.1. 32
+# partitions regresses (19.0 s for snapshot_ttl: state-store commit
+# files + worker-pool fork cost outgrow the parallelism win), and the
+# drains whose state fits a few hot groups (tool_transitions: 7.4 @ 8
+# vs 8.9 @ 16, dq: flat) keep the default. Results are partition-count
+# independent either way — this is wall-clock only.
+DRAIN_PARTITIONS_STATEFUL = "16"
+
 from contextlib import contextmanager
 
 
 @contextmanager
-def _drain_conf(spark: SparkSession):
+def _drain_conf(spark: SparkSession, partitions: str = DRAIN_PARTITIONS):
     key = "spark.sql.shuffle.partitions"
     prior = spark.conf.get(key)
-    spark.conf.set(key, DRAIN_PARTITIONS)
+    spark.conf.set(key, partitions)
     try:
         yield
     finally:
@@ -202,7 +215,7 @@ def streamed_turn_pairs(
     stream = read_transcript_stream(
         spark, src_dir, max_files_per_trigger=2, with_lineage=False
     )
-    with _drain_conf(spark):
+    with _drain_conf(spark, DRAIN_PARTITIONS_STATEFUL):
         q = (
             match_pairs_stream(stream, parity_cfg)
             .writeStream.queryName("parity_pairs")
@@ -513,7 +526,7 @@ def streamed_snapshot_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, src_dir, max_files_per_trigger=2, with_lineage=False
     )
     parity_cfg = EngineConfig(watermark_delay=PARITY_DELAY)
-    with _drain_conf(spark):
+    with _drain_conf(spark, DRAIN_PARTITIONS_STATEFUL):
         q = start_snapshot_stream(
             stream,
             os.path.join(work, "sink"),
@@ -1048,7 +1061,7 @@ def streamed_error_bursts(
     stream = read_transcript_stream(
         spark, src_dir, max_files_per_trigger=2, with_lineage=False
     )
-    with _drain_conf(spark):
+    with _drain_conf(spark, DRAIN_PARTITIONS_STATEFUL):
         q = (
             error_bursts_stream(stream, parity_cfg)
             .writeStream.queryName("parity_bursts")
