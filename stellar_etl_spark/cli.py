@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from stellar_etl_spark.config import EngineConfig
 
 
-def _tables(cfg: EngineConfig):
+def _tables(cfg: EngineConfig, as_of: str | None = None):
     from stellar_etl_spark.operators import (
         dims,
         exchange,
@@ -40,10 +40,17 @@ def _tables(cfg: EngineConfig):
         pairs,
         rollups,
         sessions,
+        skew,
         star,
         state,
     )
     from stellar_etl_spark.operators.enrich import enrich_turns
+
+    def _closed_sessions(df: DataFrame) -> DataFrame:
+        if not as_of:
+            raise SystemExit("export-closed-sessions needs --as-of "
+                             "<timestamp> (the watermark cutoff)")
+        return sessions.closed_sessions(df, cfg, as_of)
 
     return {
         "turns": lambda df: enrich_turns(df, cfg),
@@ -76,6 +83,17 @@ def _tables(cfg: EngineConfig):
         "latency_outliers": _latency_outliers_table,
         "dq_violations": _dq_violations_table,
         "tool_conv_hll": _tool_conv_hll_table,
+        "asof_last_tool": state.asof_last_tool,
+        "initiating_user": state.initiating_user_turn,
+        "dim_tools": dims.dim_tools,
+        "explode_tokens": dims.explode_tokens,
+        "top_convs": dims.top_convs,
+        "conv_funnel": journeys.conv_funnel,
+        "tool_rate_peak": lambda df: rollups.tool_rate_peak(df, cfg),
+        "salted_tool_rate": skew.salted_windowed_tool_counts,
+        "conv_turns_cms": _conv_turns_cms_table,
+        "transform_stats": lambda df: _transform_stats_table(df, cfg),
+        "closed_sessions": _closed_sessions,
     }
 
 
@@ -90,8 +108,10 @@ def _doc_tables():
     silently change semantics."""
     from stellar_etl_spark.functions import curation as fcur
     from stellar_etl_spark.functions import dedup as fdedup
+    from stellar_etl_spark.functions import multimodal as fmm
     from stellar_etl_spark.functions import retrieval as fret
     from stellar_etl_spark.functions import spans as fspans
+    from stellar_etl_spark.functions import text as ftext
     from stellar_etl_spark.functions import trainprep as ftp
 
     from stellar_etl_spark.functions import profile as fprof
@@ -113,6 +133,25 @@ def _doc_tables():
         "retrieve_rerank": None,  # two-input: handled in main (--embeddings)
         "pack_sequences": ftp.pack_sequences,
         "boilerplate_spans": ftp.boilerplate_spans,
+        # text-analysis family (T8-T11, T22)
+        "doc_stats": ftext.doc_stats,
+        "doc_lang_id": ftext.lang_id,
+        "doc_fingerprint": ftext.fingerprint,
+        # the PURE scrub over the real corpus (no injection fixture —
+        # the driver query's inject_synthetic_pii is benchmark-only)
+        "redact_pii": ftext.redact_pii,
+        # dedup family (T1-T4, T21, T28)
+        "dedup_exact": fdedup.exact_dedup,
+        "dedup_minhash_lsh": fdedup.minhash_lsh_dedup,
+        "dedup_simhash": fdedup.simhash_dedup,
+        "dedup_ngram_jaccard": fdedup.ngram_jaccard_dedup,
+        "dup_clusters": fdedup.dup_clusters,
+        "dedup_resolve": fdedup.dedup_resolve,
+        "decontaminate_bloom": ftp.decontaminate_bloom,
+        # multimodal plumbing (T12/T13): payload synthesis + decode;
+        # a deployment passes a real decoder via EngineConfig
+        "multimodal_meta": fmm.decode_metadata,
+        "multimodal_frames": fmm.frame_sample,
     }
 
 
@@ -125,7 +164,9 @@ def _emb_tables():
     passes (centroid sums, cluster-scoped pair joins)."""
     from pyspark.sql import functions as F
 
+    from stellar_etl_spark.functions import dedup as fdedup
     from stellar_etl_spark.functions import semdedup as fsem
+    from stellar_etl_spark.functions import similarity as fsim
     from stellar_etl_spark.functions import trainprep as ftp
 
     def _cast(df: DataFrame) -> DataFrame:
@@ -141,6 +182,16 @@ def _emb_tables():
         "semdedup": lambda df: fsem.semdedup(
             _cast(df), _cast(df).select("vec_id", "emb")
         ),
+        # cosine near-dup pairs over the real table (the driver query's
+        # planted-variant corpus is the benchmark fixture)
+        "dedup_embedding": lambda df: fdedup.embedding_dup_pairs(
+            _cast(df).select("vec_id", "emb")
+        ),
+        # ANN family (T6/T7/T14/T32): queries = vec_id < N_QUERIES
+        "ann_topk_brute": lambda df: fsim.ann_bruteforce(_cast(df)),
+        "ann_topk_lsh": lambda df: fsim.ann_lsh(_cast(df)),
+        "ann_topk_ivf": lambda df: fsim.ann_ivf(_cast(df)),
+        "ann_topk_sq8": lambda df: fsim.ann_sq8(_cast(df)),
     }
 
 
@@ -148,6 +199,28 @@ def _tool_conv_hll_table(df: DataFrame) -> DataFrame:
     from stellar_etl_spark.functions.sketch import tool_conv_hll
 
     return tool_conv_hll(df)
+
+
+def _conv_turns_cms_table(df: DataFrame) -> DataFrame:
+    from stellar_etl_spark.functions.sketch import conv_turns_cms
+
+    return conv_turns_cms(df)
+
+
+def _transform_stats_table(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    # attempted/successful/failed counters (PrintTransformStats analog,
+    # cmd/command_utils.go:90-103)
+    from pyspark.sql import functions as F
+
+    from stellar_etl_spark.operators.enrich import enrich_turns
+
+    return enrich_turns(df, cfg).agg(
+        F.count(F.lit(1)).cast("long").alias("attempted"),
+        F.sum(F.when(F.col("error").isNull(), 1).otherwise(0))
+        .cast("long").alias("successful"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("failed"),
+    )
 
 
 def _latency_outliers_table(df: DataFrame) -> DataFrame:
@@ -215,6 +288,12 @@ def build_parser() -> argparse.ArgumentParser:
             "--embeddings", default=None,
             help="embeddings parquet (vec_id, embedding, label) — required "
                  "by export-retrieve-rerank (doc_id==vec_id aligned)",
+        )
+        sp.add_argument(
+            "--as-of", default=None, dest="as_of",
+            help="watermark cutoff timestamp — required by "
+                 "export-closed-sessions (only sessions finalized by "
+                 "this event time are exported)",
         )
 
     cfg0 = EngineConfig()
@@ -307,8 +386,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 spark.stop()
 
     tables = {n: (lambda fn: (lambda df: _with_extras(fn(df))))(f)
-              for n, f in _tables(cfg).items()}
+              for n, f in _tables(cfg, as_of=args.as_of).items()}
     selected = tables if args.table == "all" else {args.table: tables[args.table]}
+    if args.table == "all" and not args.as_of:
+        # closed_sessions is an as-of gate; without a cutoff it has no
+        # defined output — skip it in the fan-out rather than failing
+        selected = {n: f for n, f in selected.items() if n != "closed_sessions"}
 
     # global (non-incremental) aggregates: running them per micro-batch
     # in the fan-out would silently change their semantics to per-batch,
@@ -328,7 +411,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                   # needs the whole session-interval set on both sides
                   "burst_concurrency",
                   # iterative whole-graph fixpoint
-                  "tool_pagerank"}
+                  "tool_pagerank",
+                  # window functions over full conversation history /
+                  # global orderings — per-batch forms would silently
+                  # change semantics
+                  "asof_last_tool", "initiating_user", "top_convs",
+                  "conv_funnel", "transform_stats",
+                  # global dedup / sketch / salted two-phase aggregates:
+                  # their real streaming forms are the stateful queries
+                  # in streaming/ (snapshot, parity drains), not a
+                  # per-batch re-run
+                  "dim_tools", "conv_turns_cms",
+                  "salted_tool_rate", "closed_sessions"}
     if args.stream:
         if args.table in batch_only:
             raise SystemExit(f"--stream not supported for {args.table} "
@@ -375,6 +469,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "tool_rate_sliding": lambda s: rollups.tool_rate_sliding(
                     s.withWatermark("ts", cfg.watermark_delay), cfg, exact=False),
                 "pairs": lambda s: match_pairs_stream(s, cfg),
+                # native chained time-window aggregation (two stateful
+                # aggs, one watermark finalizes both)
+                "tool_rate_peak": lambda s: rollups.tool_rate_peak(
+                    s.withWatermark("ts", cfg.watermark_delay), cfg),
             }
             queries = []
             fanout = {n: f for n, f in selected.items() if n not in windowed_builders}

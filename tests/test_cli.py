@@ -382,3 +382,144 @@ def test_cli_error_bursts_batch_only(spark, tmp_path):
              "--out", str(tmp_path / "o2"), "--stream"],
             spark=spark,
         )
+
+
+def test_cli_round4_transcript_tables_export(spark, small_input, tmp_path):
+    """The remaining transcript-side operators are CLI-exportable
+    (one-export-command-per-table parity, the reference's
+    cmd/export_ledger_entry_changes.go:90-109 surface): batch output
+    equals the operator on the same input for a spot-checked table."""
+    from stellar_etl_spark.operators.dims import top_convs
+
+    out = str(tmp_path / "out")
+    for cmd, table in [
+        ("export-asof-last-tool", "asof_last_tool"),
+        ("export-initiating-user", "initiating_user"),
+        ("export-dim-tools", "dim_tools"),
+        ("export-explode-tokens", "explode_tokens"),
+        ("export-top-convs", "top_convs"),
+        ("export-conv-funnel", "conv_funnel"),
+        ("export-tool-rate-peak", "tool_rate_peak"),
+        ("export-salted-tool-rate", "salted_tool_rate"),
+        ("export-conv-turns-cms", "conv_turns_cms"),
+        ("export-transform-stats", "transform_stats"),
+    ]:
+        rc = cli.main([cmd, "--input", small_input, "--out", out], spark=spark)
+        assert rc == 0
+        assert spark.read.parquet(f"{out}/{table}").count() > 0
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/top_convs").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in top_convs(read_transcript_batch(spark, small_input)).collect()
+    )
+    assert got == want
+
+
+def test_cli_closed_sessions_needs_as_of(spark, small_input, tmp_path):
+    """export-closed-sessions is the as-of session gate: it requires
+    --as-of, honors it (output == operator at the same cutoff), and
+    export-all without --as-of skips it instead of failing."""
+    from stellar_etl_spark.operators.sessions import closed_sessions
+
+    out = str(tmp_path / "out")
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["export-closed-sessions", "--input", small_input, "--out", out],
+            spark=spark,
+        )
+    as_of = "2026-01-01 12:00:00"
+    rc = cli.main(
+        ["export-closed-sessions", "--input", small_input, "--out", out,
+         "--as-of", as_of, "--session-gap", "30 minutes"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/closed_sessions").collect()
+    )
+    cfg = EngineConfig(session_gap="30 minutes")
+    want = sorted(
+        tuple(r)
+        for r in closed_sessions(
+            read_transcript_batch(spark, small_input), cfg, as_of
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_cli_round4_doc_tables_export(spark, tmp_path):
+    """dedup / text-analysis / multimodal tables round-trip through the
+    CLI over a real documents parquet; redact_pii here is the PURE
+    scrub (no injection fixture), spot-checked against the operator."""
+    from stellar_etl_spark.functions.text import redact_pii
+
+    out = str(tmp_path / "out")
+    for cmd, table in [
+        ("export-doc-stats", "doc_stats"),
+        ("export-doc-lang-id", "doc_lang_id"),
+        ("export-doc-fingerprint", "doc_fingerprint"),
+        ("export-redact-pii", "redact_pii"),
+        ("export-dedup-exact", "dedup_exact"),
+        ("export-dedup-minhash-lsh", "dedup_minhash_lsh"),
+        ("export-dedup-simhash", "dedup_simhash"),
+        ("export-dedup-ngram-jaccard", "dedup_ngram_jaccard"),
+        ("export-dup-clusters", "dup_clusters"),
+        ("export-dedup-resolve", "dedup_resolve"),
+        ("export-decontaminate-bloom", "decontaminate_bloom"),
+        ("export-multimodal-meta", "multimodal_meta"),
+        ("export-multimodal-frames", "multimodal_frames"),
+    ]:
+        rc = cli.main([cmd, "--input", DOCS_PARQUET, "--out", out], spark=spark)
+        assert rc == 0
+        assert spark.read.parquet(f"{out}/{table}").count() > 0
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/redact_pii").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in redact_pii(spark.read.parquet(DOCS_PARQUET)).collect()
+    )
+    assert got == want
+
+
+def test_cli_round4_emb_tables_export(spark, tmp_path):
+    """embedding near-dup + the ANN family export via the CLI over a
+    real embeddings parquet; ann_topk_brute spot-checked value-exact
+    against the operator."""
+    from pyspark.sql import functions as F
+
+    from stellar_etl_spark.functions.similarity import ann_bruteforce
+
+    emb_parquet = "/root/testdata/sf0.001/embeddings.parquet"
+    out = str(tmp_path / "out")
+    for cmd, table in [
+        ("export-dedup-embedding", "dedup_embedding"),
+        ("export-ann-topk-brute", "ann_topk_brute"),
+        ("export-ann-topk-lsh", "ann_topk_lsh"),
+        ("export-ann-topk-ivf", "ann_topk_ivf"),
+        ("export-ann-topk-sq8", "ann_topk_sq8"),
+    ]:
+        rc = cli.main([cmd, "--input", emb_parquet, "--out", out], spark=spark)
+        assert rc == 0
+        if table == "dedup_embedding":
+            # the PURE operator over the raw table: the synthetic corpus
+            # has no cos >= 0.98 pairs (near-dups exist only via the
+            # driver fixture's planted variants) — schema, not rows
+            df = spark.read.parquet(f"{out}/{table}")
+            assert set(df.columns) == {"vec_a", "vec_b", "cos_sim"}
+        else:
+            assert spark.read.parquet(f"{out}/{table}").count() > 0
+
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(f"{out}/ann_topk_brute").collect()
+    )
+    base = spark.read.parquet(emb_parquet).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    want = sorted(tuple(r) for r in ann_bruteforce(base).collect())
+    assert got == want
