@@ -180,6 +180,18 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 raw[name].append(time.perf_counter() - t0)
+                # Release the rep's localCheckpoint blocks NOW (outside
+                # the timed region): ContextCleaner only reclaims a
+                # checkpointed RDD after a driver full GC notices the
+                # reference is dead, and with a large heap full GCs are
+                # rare (periodicGC.interval defaults to 30 min) — at
+                # 1000x the dead blocks from prior reps otherwise
+                # accumulate to an OOM before any single rep's working
+                # set comes close to the heap.
+                import gc as _gc
+
+                _gc.collect()
+                spark.sparkContext._jvm.System.gc()
         return {n: round(sorted(xs)[len(xs) // 2], 3) for n, xs in raw.items()}
 
     # warmup pass at 1x (JIT/codegen/python pool), then timed 1x, timed 10x
