@@ -25,6 +25,7 @@ from stellar_etl_spark.functions import curation as fcur
 from stellar_etl_spark.functions import dedup as fdedup
 from stellar_etl_spark.functions import multimodal as fmm
 from stellar_etl_spark.functions import similarity as fsim
+from stellar_etl_spark.functions import scoring as fscore
 from stellar_etl_spark.functions import spans as fspans
 from stellar_etl_spark.functions import sketch as fsketch
 from stellar_etl_spark.functions import text as ftext
@@ -301,6 +302,36 @@ def _q_corpus_sample(spark, sf):
 
 def _q_doc_top_terms(spark, sf):
     return fcur.doc_top_terms(_C(spark, sf))
+
+
+def _q_chunk_documents(spark, sf):
+    """T60: RAG chunking — fixed-size overlapping token windows per
+    doc; narrow map + generate, zero shuffle."""
+    return fscore.chunk_documents(_C(spark, sf))
+
+
+def _q_ngram_lm_score(spark, sf):
+    """T61: corpus-trained bigram-LM fluency score (perplexity-filter
+    shape); integer permille until one final division."""
+    return fscore.ngram_lm_score(_C(spark, sf))
+
+
+def _q_priority_sample(spark, sf):
+    """T62: weighted priority sample (w/u, hash-derived uniform);
+    distributed TakeOrdered top-k, reproducible on any cluster."""
+    return fscore.priority_sample(_C(spark, sf))
+
+
+def _q_quality_logreg(spark, sf):
+    """T63: broadcast linear quality gate over exact token features;
+    zero-shuffle codegen map."""
+    return fscore.quality_logreg(_C(spark, sf))
+
+
+def _q_blocklist_hits(spark, sf):
+    """T64: token blocklist safety filter with density flag; zero
+    shuffle, plan-literal denylist."""
+    return fscore.blocklist_hits(_C(spark, sf))
 
 
 def _q_latency_quantiles(spark, sf):
@@ -843,6 +874,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_turns_cms": _q_conv_turns_cms,
         "ann_topk_brute": _q_ann_brute,
         "ann_topk_sq8": _q_ann_sq8,
+        # (5) wave-5 scoring/packaging operators (new this session;
+        # appended BEHIND the 50-entry window so the never-gated set
+        # above keeps its seats — these enter the rotation next round,
+        # oracle-gated by pytest until then)
+        "chunk_documents": _q_chunk_documents,
+        "ngram_lm_score": _q_ngram_lm_score,
+        "priority_sample": _q_priority_sample,
+        "quality_logreg": _q_quality_logreg,
+        "blocklist_hits": _q_blocklist_hits,
     }
 
 
@@ -998,6 +1038,11 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_meta": fmm.decode_metadata_oracle(fcorpus.CORPUS_CTE),
         "multimodal_meta_alt": fmm.alt_decode_oracle(fcorpus.CORPUS_CTE),
         "multimodal_frames": fmm.frame_sample_oracle(fcorpus.CORPUS_CTE),
+        "chunk_documents": fscore.chunk_documents_oracle(fcorpus.CORPUS_CTE),
+        "ngram_lm_score": fscore.ngram_lm_score_oracle(fcorpus.CORPUS_CTE),
+        "priority_sample": fscore.priority_sample_oracle(fcorpus.CORPUS_CTE),
+        "quality_logreg": fscore.quality_logreg_oracle(fcorpus.CORPUS_CTE),
+        "blocklist_hits": fscore.blocklist_hits_oracle(fcorpus.CORPUS_CTE),
     }
 
 

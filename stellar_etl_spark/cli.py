@@ -110,6 +110,7 @@ def _doc_tables():
     from stellar_etl_spark.functions import dedup as fdedup
     from stellar_etl_spark.functions import multimodal as fmm
     from stellar_etl_spark.functions import retrieval as fret
+    from stellar_etl_spark.functions import scoring as fscore
     from stellar_etl_spark.functions import spans as fspans
     from stellar_etl_spark.functions import text as ftext
     from stellar_etl_spark.functions import trainprep as ftp
@@ -152,6 +153,12 @@ def _doc_tables():
         # a deployment passes a real decoder via EngineConfig
         "multimodal_meta": fmm.decode_metadata,
         "multimodal_frames": fmm.frame_sample,
+        # scoring/packaging family (T60-T64)
+        "chunk_documents": fscore.chunk_documents,
+        "ngram_lm_score": fscore.ngram_lm_score,
+        "priority_sample": fscore.priority_sample,
+        "quality_logreg": fscore.quality_logreg,
+        "blocklist_hits": fscore.blocklist_hits,
     }
 
 

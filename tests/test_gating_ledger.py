@@ -1,12 +1,18 @@
 """Guard the evidence-rotation invariant (README "Evidence rotation").
 
 The driver's CORRECTNESS artifact gates only the first 50 entries of
-``__spark_entry__.queries()``. Every registered query must therefore
-either already hold a fully-green row in some committed round artifact,
-or sit inside the current 50-entry window so the next artifact gates it.
-A query that is neither is invisible to the hard gate — exactly the
-round-3 regression (VERDICT r03 "What's wrong" #1). Adding a query at
-the registry tail without rotating the window trips this test.
+``__spark_entry__.queries()``. While never-green queries fit in the
+window, every registered query must either hold a fully-green row in
+some committed round artifact or sit inside the window — a query that
+is neither is invisible to the hard gate, exactly the round-3
+regression (VERDICT r03 "What's wrong" #1). Once never-green queries
+outnumber the 50 seats, a wait-list is unavoidable; the enforced
+invariant then is that no seat is WASTED: a query green in the LATEST
+round may not hold a seat while a never-green query waits outside
+(seats re-validating queries whose last green row is older are
+legitimate — the code may have moved since). tools/gating_ledger.py
+implements the rule; adding a registry-tail query while a fresh-green
+query sits in the window trips this test.
 """
 
 import subprocess
