@@ -20,6 +20,27 @@ from stellar_etl_spark.operators import rollups, sessions
 from stellar_etl_spark.sources.generator import write_transcripts
 from stellar_etl_spark.streaming.matcher import match_pairs_stream
 from stellar_etl_spark.streaming.metrics import EngineQueryListener
+
+
+def _hard_kill(q):
+    """Stop a stream mid-batch, simulating the driver dying. The stop
+    interrupt can race micro-batch planning inside MicroBatchExecution
+    and surface from awaitTermination as StreamingQueryException with
+    `Caused by: java.lang.InterruptedException`; for a DELIBERATE kill
+    that outcome is equivalent to the simulated crash — the checkpoint
+    is intact and the resume semantics are exactly what each kill/
+    resume test verifies next. Any other stream failure still raises.
+    """
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    q.stop()
+    try:
+        q.awaitTermination(60)
+    except (StreamingQueryException, Py4JJavaError) as e:
+        if "InterruptedException" not in str(e):
+            raise
+
 from stellar_etl_spark.streaming.pipeline import start_fanout, start_windowed
 from stellar_etl_spark.streaming.sink import EpochCommitSink
 from stellar_etl_spark.streaming.source import (
@@ -169,8 +190,7 @@ def test_exactly_once_resume(spark, data_dir, tmp_path):
 
     while len(EpochCommitSink(sink_root).committed_epochs()) < 2:
         time.sleep(0.5)
-    q1.stop()
-    q1.awaitTermination(60)
+    _hard_kill(q1)
 
     n_before = len(EpochCommitSink(sink_root).committed_epochs())
     assert n_before >= 2
@@ -320,8 +340,7 @@ def test_rate_source_drives_pipeline(spark, tmp_path):
                     pass
             time.sleep(1)
     finally:
-        q.stop()
-        q.awaitTermination(60)
+        _hard_kill(q)
 
     snap = EpochCommitSink(str(tmp_path / "sink")).read_table(spark, "snapshot")
     rows = snap.collect()
@@ -369,8 +388,7 @@ def test_dedup_stream_kill_resume_equals_batch(spark, tmp_path):
     q1 = start(available_now=False)
     while len(EpochCommitSink(sink_root).committed_epochs()) < 2:
         time.sleep(0.5)
-    q1.stop()
-    q1.awaitTermination(60)
+    _hard_kill(q1)
     assert len(EpochCommitSink(sink_root).committed_epochs()) >= 2
 
     q2 = start(available_now=True)
@@ -420,8 +438,7 @@ def test_snapshot_ttl_kill_resume_equals_oracle(spark, tmp_path):
     q1 = start(available_now=False)
     while len(EpochCommitSink(sink_root).committed_epochs()) < 2:
         time.sleep(0.5)
-    q1.stop()
-    q1.awaitTermination(60)
+    _hard_kill(q1)
 
     q2 = start(available_now=True)
     assert q2.awaitTermination(540), "resumed TTL snapshot did not finish"
@@ -571,8 +588,7 @@ def test_transitions_resume_preserves_pattern_state(spark, data_dir, tmp_path):
     )
     while len(EpochCommitSink(sink_root).committed_epochs()) < 2:
         time.sleep(0.5)
-    q1.stop()
-    q1.awaitTermination(60)
+    _hard_kill(q1)
     assert len(EpochCommitSink(sink_root).committed_epochs()) >= 2
 
     q2 = (
@@ -694,8 +710,7 @@ def test_bursts_resume_preserves_run_state(spark, tmp_path):
         or len([f for f in os.listdir(commits) if not f.startswith(".")]) < 2
     ):
         time.sleep(0.2)
-    q1.stop()
-    q1.awaitTermination(60)
+    _hard_kill(q1)
 
     q2 = start(available_now=True)
     assert q2.awaitTermination(540), "resumed burst stream did not finish"
@@ -770,8 +785,7 @@ def test_minhash_resume_preserves_bucket_state(spark, tmp_path):
         or len([f for f in os.listdir(commits) if not f.startswith(".")]) < 2
     ):
         time.sleep(0.2)
-    q1.stop()
-    q1.awaitTermination(60)
+    _hard_kill(q1)
 
     q2 = start(available_now=True)
     assert q2.awaitTermination(540), "resumed minhash stream did not finish"
@@ -872,8 +886,7 @@ def test_bm25_resume_absorbs_replayed_index_epochs(spark, tmp_path):
         or len([f for f in os.listdir(commits) if not f.startswith(".")]) < 2
     ):
         time.sleep(0.2)
-    q1.stop()
-    q1.awaitTermination(60)
+    _hard_kill(q1)
 
     q2 = start(available_now=True)
     assert q2.awaitTermination(540), "resumed bm25 index stream did not finish"
@@ -1001,8 +1014,7 @@ def test_dq_stream_kill_resume_equals_batch(spark, tmp_path):
         or len([f for f in os.listdir(commits) if not f.startswith(".")]) < 2
     ):
         time.sleep(0.2)
-    q1.stop()
-    q1.awaitTermination(60)
+    _hard_kill(q1)
 
     q2 = start(available_now=True)
     assert q2.awaitTermination(540), "resumed DQ stream did not finish"
@@ -1102,8 +1114,7 @@ def test_reply_join_resume_pairs_straddle_kill(spark, tmp_path):
         or len([f for f in os.listdir(commits) if not f.startswith(".")]) < 2
     ):
         time.sleep(0.2)
-    q1.stop()
-    q1.awaitTermination(60)
+    _hard_kill(q1)
 
     q2 = start(available_now=True)
     assert q2.awaitTermination(540), "resumed reply join did not finish"
