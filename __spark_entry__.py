@@ -334,6 +334,12 @@ def _q_blocklist_hits(spark, sf):
     return fscore.blocklist_hits(_C(spark, sf))
 
 
+def _q_curation_pipeline(spark, sf):
+    """T65: the composed curation DAG (quality gate -> blocklist ->
+    doc dedup -> chunk -> chunk dedup) gated as one per-stage report."""
+    return fscore.curation_pipeline(_C(spark, sf))
+
+
 def _q_latency_quantiles(spark, sf):
     return pairs.latency_quantiles(pairs.match_pairs(_T(spark, sf)))
 
@@ -883,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "quality_logreg": _q_quality_logreg,
         "blocklist_hits": _q_blocklist_hits,
+        "curation_pipeline": _q_curation_pipeline,
     }
 
 
@@ -1043,6 +1050,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_sample": fscore.priority_sample_oracle(fcorpus.CORPUS_CTE),
         "quality_logreg": fscore.quality_logreg_oracle(fcorpus.CORPUS_CTE),
         "blocklist_hits": fscore.blocklist_hits_oracle(fcorpus.CORPUS_CTE),
+        "curation_pipeline": fscore.curation_pipeline_oracle(fcorpus.CORPUS_CTE),
     }
 
 

@@ -159,6 +159,7 @@ def _doc_tables():
         "priority_sample": fscore.priority_sample,
         "quality_logreg": fscore.quality_logreg,
         "blocklist_hits": fscore.blocklist_hits,
+        "curation_pipeline": fscore.curation_pipeline,
     }
 
 

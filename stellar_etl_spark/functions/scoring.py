@@ -364,6 +364,125 @@ def blocklist_hits(docs: DataFrame) -> DataFrame:
     )
 
 
+def _chunk_ctes(src: str) -> str:
+    """DuckDB CTE chain producing (doc_id, chunk_idx, chunk_text,
+    chunk_hash) chunks from relation `src`(doc_id, text) — shared by
+    the standalone chunk oracle and the pipeline oracle."""
+    C, S = CHUNK_SIZE, CHUNK_STRIDE
+    tok = H.tokens("text", spark=False)
+    return f"""
+cbase AS (SELECT doc_id, {tok} AS toks FROM {src}),
+csized AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+           FROM cbase WHERE len(toks) > 0),
+cidx AS (
+  SELECT doc_id, toks, n,
+         unnest(generate_series(0,
+           CASE WHEN n <= {C} THEN 0 ELSE (n - {C} + {S} - 1) // {S} END)) AS chunk_idx
+  FROM csized),
+cchunks AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+         CAST(least({C}, n - chunk_idx * {S}) AS BIGINT) AS n_tokens,
+         array_to_string(toks[chunk_idx * {S} + 1 : least(chunk_idx * {S} + {C}, n)], ' ')
+           AS chunk_text
+  FROM cidx),
+chashed AS (
+  SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+         {H.char_hash_wide('chunk_text', spark=False)} AS chunk_hash
+  FROM cchunks)"""
+
+
+# --- composed curation pipeline ---------------------------------------------
+
+PIPELINE_STAGES = (
+    "input", "quality_gate", "blocklist", "doc_dedup", "chunk", "chunk_dedup",
+)
+
+
+def curation_pipeline(docs: DataFrame) -> DataFrame:
+    """End-to-end curation DAG as ONE job, reported as a per-stage
+    row-count table: model quality gate (T63) → blocklist screen (T64)
+    → exact doc dedup (min doc_id per normalized-text fingerprint, the
+    T1 canonical rule) → RAG chunking of the survivors (T60) →
+    chunk-level exact dedup on the chunk-identity hash. The composed
+    form is what a training-data pipeline actually ships; each stage
+    alone is separately oracle-gated, this query gates the composition.
+
+    Scale shape: the doc stages are ONE narrow flag map + one
+    fingerprint-keyed shuffle (dedup); the chunk stages add the
+    zero-shuffle generate and one distinct-agg on chunk_hash. The
+    6-row report unions six aggregates that all reuse the same staged
+    scan (lineage-truncated once)."""
+    from .dedup import _norm_expr
+
+    e_l = _logreg_exprs(spark=True)
+    e_b = _block_exprs(spark=True)
+    staged = (
+        docs.select(
+            "doc_id",
+            "text",
+            (F.expr(e_l["logit"]) > 0).alias("q_ok"),
+            (
+                F.expr(e_b["n_blocked"]) * 1000
+                <= F.expr(e_b["n_tok"]) * F.lit(BLOCK_MAX_PERMILLE)
+            ).alias("b_ok"),
+            F.expr(H.char_hash_wide(_norm_expr(True), spark=True)).alias("fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    passed = staged.filter(F.col("q_ok") & F.col("b_ok"))
+    survivors = (
+        passed.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .join(passed.select("doc_id", "text"), "doc_id")
+    )
+    chunks = chunk_documents(survivors.select("doc_id", "text"))
+
+    def row(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(idx).cast("long").alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.col("n").cast("long").alias("rows_out"),
+        )
+
+    one = F.count(F.lit(1)).alias("n")
+    return (
+        row(1, "input", staged.agg(one))
+        .unionByName(row(2, "quality_gate", staged.filter("q_ok").agg(one)))
+        .unionByName(row(3, "blocklist", passed.agg(one)))
+        .unionByName(row(4, "doc_dedup", survivors.agg(one)))
+        .unionByName(row(5, "chunk", chunks.agg(one)))
+        .unionByName(
+            row(6, "chunk_dedup",
+                chunks.agg(F.count_distinct("chunk_hash").alias("n")))
+        )
+    )
+
+
+def curation_pipeline_oracle(corpus_cte: str) -> str:
+    from .dedup import _norm_expr
+
+    e_l = _logreg_exprs(spark=False)
+    e_b = _block_exprs(spark=False)
+    fp = H.char_hash_wide(_norm_expr(False), spark=False)
+    return f"""WITH {corpus_cte},
+g AS (SELECT doc_id, text,
+             ({e_l['logit']}) > 0 AS q_ok,
+             ({e_b['n_blocked']}) * 1000 <= ({e_b['n_tok']}) * {BLOCK_MAX_PERMILLE} AS b_ok,
+             {fp} AS fp
+      FROM corpus),
+p AS (SELECT * FROM g WHERE q_ok AND b_ok),
+surv AS (SELECT fp, MIN(doc_id) AS doc_id FROM p GROUP BY fp),
+sd AS (SELECT s.doc_id, p.text FROM surv s JOIN p ON p.doc_id = s.doc_id),
+{_chunk_ctes('sd')}
+SELECT CAST(1 AS BIGINT) AS stage_idx, 'input' AS stage,
+       (SELECT COUNT(*) FROM g) AS rows_out
+UNION ALL SELECT 2, 'quality_gate', (SELECT COUNT(*) FROM g WHERE q_ok)
+UNION ALL SELECT 3, 'blocklist', (SELECT COUNT(*) FROM p)
+UNION ALL SELECT 4, 'doc_dedup', (SELECT COUNT(*) FROM surv)
+UNION ALL SELECT 5, 'chunk', (SELECT COUNT(*) FROM chashed)
+UNION ALL SELECT 6, 'chunk_dedup', (SELECT COUNT(DISTINCT chunk_hash) FROM chashed)"""
+
+
 def blocklist_hits_oracle(corpus_cte: str) -> str:
     e = _block_exprs(spark=False)
     return f"""WITH {corpus_cte}

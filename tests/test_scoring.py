@@ -120,6 +120,41 @@ def test_lm_score_bounds(spark, docs):
         assert 0.0 <= r["lm_score_permille"] <= 1000.0
 
 
+def test_curation_pipeline_composition(spark, docs):
+    """The composed pipeline's stage counts equal recomputing each
+    stage from the standalone operators, and doc-stage counts are
+    monotone non-increasing."""
+    got = {r["stage"]: r["rows_out"] for r in S.curation_pipeline(docs).collect()}
+    assert list(got) == list(S.PIPELINE_STAGES)
+    assert got["input"] >= got["quality_gate"] >= got["blocklist"] >= got["doc_dedup"]
+    assert got["chunk"] >= got["chunk_dedup"]
+
+    q = {r["doc_id"]: r["keep"] for r in S.quality_logreg(docs).collect()}
+    b = {r["doc_id"]: not r["flagged"] for r in S.blocklist_hits(docs).collect()}
+    assert got["quality_gate"] == sum(q.values())
+    assert got["blocklist"] == sum(1 for d in q if q[d] and b[d])
+
+    passed = docs.filter(
+        docs.doc_id.isin([d for d in q if q[d] and b[d]])
+    )
+    from pyspark.sql import functions as F
+    from stellar_etl_spark.functions.dedup import _norm_expr
+    from stellar_etl_spark.functions.hashing import char_hash_wide
+
+    surv = (
+        passed.select(
+            "doc_id", "text",
+            F.expr(char_hash_wide(_norm_expr(True), spark=True)).alias("fp"),
+        )
+        .groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    )
+    assert got["doc_dedup"] == surv.count()
+    surv_docs = passed.join(surv.select("doc_id"), "doc_id").select("doc_id", "text")
+    chunks = S.chunk_documents(surv_docs)
+    assert got["chunk"] == chunks.count()
+    assert got["chunk_dedup"] == chunks.select("chunk_hash").distinct().count()
+
+
 def test_cli_scoring_tables_export(spark, tmp_path):
     """Wave-5 tables round-trip through the CLI (one-export-command-
     per-table parity, /root/reference/cmd/export_ledger_entry_changes.go:90-109)."""
@@ -130,6 +165,7 @@ def test_cli_scoring_tables_export(spark, tmp_path):
         ("export-priority-sample", "priority_sample"),
         ("export-quality-logreg", "quality_logreg"),
         ("export-blocklist-hits", "blocklist_hits"),
+        ("export-curation-pipeline", "curation_pipeline"),
     ]:
         rc = cli.main([cmd, "--input", DOCS_PARQUET, "--out", out], spark=spark)
         assert rc == 0
