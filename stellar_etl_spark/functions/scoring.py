@@ -430,10 +430,13 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     passed = staged.filter(F.col("q_ok") & F.col("b_ok"))
+    # materialized once: stages 4-6 each aggregate over this subtree,
+    # so without truncation the dedup shuffle+join would run 3x
     survivors = (
         passed.groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .join(passed.select("doc_id", "text"), "doc_id")
+        .localCheckpoint(eager=True)
     )
     chunks = chunk_documents(survivors.select("doc_id", "text"))
 
