@@ -340,6 +340,16 @@ def _q_curation_pipeline(spark, sf):
     return fscore.curation_pipeline(_C(spark, sf))
 
 
+def _q_ngram_lm_streamed(spark, sf):
+    """T66: the T61 bigram LM's count tables maintained by a stateless
+    incremental-index stream (per-epoch SUM-mergeable partials through
+    the exactly-once sink), scored at serve time by the batch tail;
+    oracle shared verbatim with the batch query."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_ngram_lm(spark, sf)
+
+
 def _q_latency_quantiles(spark, sf):
     return pairs.latency_quantiles(pairs.match_pairs(_T(spark, sf)))
 
@@ -890,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logreg": _q_quality_logreg,
         "blocklist_hits": _q_blocklist_hits,
         "curation_pipeline": _q_curation_pipeline,
+        "ngram_lm_streamed": _q_ngram_lm_streamed,
     }
 
 
@@ -1051,6 +1062,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_logreg": fscore.quality_logreg_oracle(fcorpus.CORPUS_CTE),
         "blocklist_hits": fscore.blocklist_hits_oracle(fcorpus.CORPUS_CTE),
         "curation_pipeline": fscore.curation_pipeline_oracle(fcorpus.CORPUS_CTE),
+        # partial counts SUM-merge to the batch totals: same oracle
+        "ngram_lm_streamed": fscore.ngram_lm_score_oracle(fcorpus.CORPUS_CTE),
     }
 
 

@@ -120,16 +120,16 @@ FROM chunks"""
 LM_SCALE = 1000  # conditional probabilities in integer permille
 
 
-def ngram_lm_score(docs: DataFrame) -> DataFrame:
-    """Count-based bigram language-model fluency score per document
-    (the CCNet/Gopher-style perplexity-filter shape, with the LM
-    trained on the corpus itself in the same job).
-
-    For each in-document bigram (w1, w2): permille = (1000 * c(w1 w2))
-    div c(w1), both counts over the whole corpus, vocabulary hashed to
-    BIGINT. The doc score is the mean permille over its bigrams —
-    integer sum, one final double division. Docs under 2 tokens score
-    0 with n_bigrams = 0."""
+def lm_parts(docs: DataFrame) -> dict[str, DataFrame]:
+    """The bigram LM decomposed into its additive index tables —
+    shared by the batch operator and the streamed incremental-index
+    form (streaming/parity.streamed_ngram_lm commits per-epoch PARTIAL
+    uni/big counts; SUM-merging partials equals these totals):
+      docs: (doc_id)            — every document, for the left join
+      occ:  (doc_id, w1h, bh)   — one row per in-doc bigram position
+      uni:  (w1h, c1)           — corpus unigram counts
+      big:  (bh, c2)            — corpus bigram counts
+    """
     B, P = H.SHINGLE_B, H.P
     tok = H.tokens("text", spark=True)
     staged = (
@@ -153,6 +153,15 @@ def ngram_lm_score(docs: DataFrame) -> DataFrame:
         )
     )
     big = occ.groupBy("bh").agg(F.count(F.lit(1)).alias("c2"))
+    return {"docs": staged.select("doc_id"), "occ": occ, "uni": uni, "big": big}
+
+
+def lm_score_tail(
+    doc_ids: DataFrame, occ: DataFrame, uni: DataFrame, big: DataFrame
+) -> DataFrame:
+    """Serve-time scoring over the LM index tables: join each bigram
+    occurrence to its counts, integer-permille per bigram, per-doc
+    sum + one final double division."""
     perdoc = (
         occ.join(big, "bh")
         .join(uni, "w1h")
@@ -163,7 +172,7 @@ def ngram_lm_score(docs: DataFrame) -> DataFrame:
         )
     )
     return (
-        docs.select("doc_id")
+        doc_ids.select("doc_id")
         .join(perdoc, "doc_id", "left")
         .select(
             "doc_id",
@@ -179,6 +188,20 @@ def ngram_lm_score(docs: DataFrame) -> DataFrame:
             .alias("lm_score_permille"),
         )
     )
+
+
+def ngram_lm_score(docs: DataFrame) -> DataFrame:
+    """Count-based bigram language-model fluency score per document
+    (the CCNet/Gopher-style perplexity-filter shape, with the LM
+    trained on the corpus itself in the same job).
+
+    For each in-document bigram (w1, w2): permille = (1000 * c(w1 w2))
+    div c(w1), both counts over the whole corpus, vocabulary hashed to
+    BIGINT. The doc score is the mean permille over its bigrams —
+    integer sum, one final double division. Docs under 2 tokens score
+    0 with n_bigrams = 0."""
+    p = lm_parts(docs)
+    return lm_score_tail(p["docs"], p["occ"], p["uni"], p["big"])
 
 
 def ngram_lm_score_oracle(corpus_cte: str) -> str:

@@ -1269,6 +1269,92 @@ def fold_bm25_sink(spark: SparkSession, sink_root: str) -> DataFrame:
     return fret.score_topk(tf, dls)
 
 
+LM_DOCS_TABLE = "lm_docs"
+LM_OCC_TABLE = "lm_occ"
+LM_UNI_TABLE = "lm_uni"
+LM_BIG_TABLE = "lm_big"
+
+
+def streamed_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bigram LM's count tables maintained by a STATELESS stream,
+    scored at serve time — the same incremental ingest-then-serve shape
+    as streamed_bm25, instantiated for the T61 fluency filter.
+
+    Per micro-batch the stream derives the LM index deltas (functions/
+    scoring.lm_parts over just the batch's documents): the doc roster,
+    the per-bigram occurrence rows (row-local), and PARTIAL unigram /
+    bigram counts (per-batch groupBy — the map-side-combine analog,
+    so each epoch commits vocabulary-bounded partials rather than raw
+    token explosions). All four tables commit per epoch through the
+    exactly-once sink; the serve-time fold SUM-merges the partials
+    (counts are additive, so merged partials equal the batch totals
+    exactly) and runs the batch operator's own scoring tail
+    (scoring.lm_score_tail). Oracle: shared verbatim with the batch
+    query.
+
+    Stateless append streaming: exactly-once comes from the sink's
+    idempotent epoch commit alone (replayed epochs are skipped) — no
+    operator state, no watermark."""
+    from stellar_etl_spark.deploy import ship_package
+    from stellar_etl_spark.functions import scoring as fscore
+
+    ship_package(spark)
+    src_dir = _doc_slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_lm_")
+    sink_root = os.path.join(work, "sink")
+    sink = EpochCommitSink(sink_root)
+
+    def writer(batch_df: DataFrame, epoch_id: int) -> None:
+        parts = fscore.lm_parts(batch_df)
+        sink.write_epoch(
+            epoch_id,
+            {
+                LM_DOCS_TABLE: parts["docs"].withColumn("epoch_id", F.lit(epoch_id)),
+                LM_OCC_TABLE: parts["occ"].withColumn("epoch_id", F.lit(epoch_id)),
+                LM_UNI_TABLE: parts["uni"].withColumn("epoch_id", F.lit(epoch_id)),
+                LM_BIG_TABLE: parts["big"].withColumn("epoch_id", F.lit(epoch_id)),
+            },
+        )
+
+    stream = (
+        spark.readStream.schema(DOC_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src_dir)
+    )
+    with _drain_conf(spark):
+        q = (
+            stream.writeStream.queryName("parity_ngram_lm")
+            .outputMode("append")
+            .foreachBatch(writer)
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return fold_lm_sink(spark, sink_root)
+
+
+def fold_lm_sink(spark: SparkSession, sink_root: str) -> DataFrame:
+    """Serve-time LM scoring over the accumulated index: SUM-merge the
+    per-epoch partial counts, then the batch scoring tail."""
+    from stellar_etl_spark.functions import scoring as fscore
+
+    sink = EpochCommitSink(sink_root)
+    doc_ids = sink.read_table(spark, LM_DOCS_TABLE).select("doc_id")
+    occ = sink.read_table(spark, LM_OCC_TABLE).select("doc_id", "w1h", "bh")
+    uni = (
+        sink.read_table(spark, LM_UNI_TABLE)
+        .groupBy("w1h")
+        .agg(F.sum("c1").cast("long").alias("c1"))
+    )
+    big = (
+        sink.read_table(spark, LM_BIG_TABLE)
+        .groupBy("bh")
+        .agg(F.sum("c2").cast("long").alias("c2"))
+    )
+    return fscore.lm_score_tail(doc_ids, occ, uni, big)
+
+
 # --- streamed data-quality monitor -------------------------------------------
 
 def streamed_dq_violations(

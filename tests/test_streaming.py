@@ -1127,3 +1127,73 @@ def test_reply_join_resume_pairs_straddle_kill(spark, tmp_path):
         ("c2", 0, 2, 20.0),
     ]
     assert _rows(got, cols) == sorted(expected)
+
+
+def test_ngram_lm_resume_absorbs_replayed_epochs(spark, tmp_path):
+    """Kill the stateless LM index stream mid-corpus, resume from the
+    same checkpoint: replayed epochs are absorbed by the sink's
+    idempotent commit (a double-committed unigram/bigram partial would
+    shift every conditional probability), and the serve-time fold over
+    the SUM-merged partials equals the batch operator exactly."""
+    import time
+
+    from stellar_etl_spark.functions import scoring as fscore
+    from stellar_etl_spark.functions.corpus import load_corpus
+    from stellar_etl_spark.streaming import parity
+    from tests.conftest import SF_UNIT
+
+    src_dir = parity._doc_slice_dir(spark, SF_UNIT)
+    sink_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sink = EpochCommitSink(sink_root)
+
+    def writer(bdf, eid):
+        parts = fscore.lm_parts(bdf)
+        sink.write_epoch(
+            eid,
+            {
+                parity.LM_DOCS_TABLE: parts["docs"].withColumn("epoch_id", F.lit(eid)),
+                parity.LM_OCC_TABLE: parts["occ"].withColumn("epoch_id", F.lit(eid)),
+                parity.LM_UNI_TABLE: parts["uni"].withColumn("epoch_id", F.lit(eid)),
+                parity.LM_BIG_TABLE: parts["big"].withColumn("epoch_id", F.lit(eid)),
+            },
+        )
+
+    def start(available_now):
+        stream = (
+            spark.readStream.schema(parity.DOC_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        w = (
+            stream.writeStream.queryName("lm_resume")
+            .outputMode("append")
+            .foreachBatch(writer)
+            .option("checkpointLocation", ckpt)
+        )
+        w = (
+            w.trigger(availableNow=True)
+            if available_now
+            else w.trigger(processingTime="1 second")
+        )
+        return w.start()
+
+    commits = os.path.join(ckpt, "commits")
+    q1 = start(available_now=False)
+    while (
+        not os.path.isdir(commits)
+        or len([f for f in os.listdir(commits) if not f.startswith(".")]) < 2
+    ):
+        time.sleep(0.2)
+    _hard_kill(q1)
+
+    q2 = start(available_now=True)
+    assert q2.awaitTermination(540), "resumed LM index stream did not finish"
+
+    got = parity.fold_lm_sink(spark, sink_root)
+    exp = fscore.ngram_lm_score(load_corpus(spark, SF_UNIT))
+    cols = ["doc_id", "n_bigrams", "sum_permille", "lm_score_permille"]
+    assert _rows(got, cols) == _rows(exp, cols)
+    # exactly-once roster: one doc row per corpus doc
+    n_docs = load_corpus(spark, SF_UNIT).count()
+    assert sink.read_table(spark, parity.LM_DOCS_TABLE).count() == n_docs
