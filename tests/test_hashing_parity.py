@@ -232,3 +232,37 @@ def test_bloom_positions(frames):
         want = ((a * g + b) % P) % ftp.BLOOM_BITS
         got = np.array([r[f"p{j}"] for j in range(ftp.BLOOM_K)], dtype=np.int64)
         assert (want == got).all(), f"row {r['i']}: {want} != {got}"
+
+
+def test_scoring_logreg_exprs(frames):
+    """Wave-5 quality-gate features + logit agree across dialects over
+    the adversarial corpus (empty/whitespace/punct-only strings hit the
+    COALESCE(max token len) and zero-token paths)."""
+    from stellar_etl_spark.functions import scoring as S
+
+    se, de = S._logreg_exprs(True), S._logreg_exprs(False)
+    sdf, con = frames
+    for key in ("n_tok", "n_uniq", "max_len", "logit"):
+        _run(sdf, con, se[key], de[key], f"logreg:{key}")
+
+
+def test_scoring_blocklist_exprs(frames):
+    from stellar_etl_spark.functions import scoring as S
+
+    se, de = S._block_exprs(True), S._block_exprs(False)
+    sdf, con = frames
+    for key in ("n_tok", "n_blocked", "first"):
+        _run(sdf, con, se[key], de[key], f"blocklist:{key}")
+
+
+def test_scoring_priority_expr(frames):
+    """Weight and the priority (the single double division) bit-agree;
+    the fuzz table's id column is `i`, so substitute it for doc_id in
+    both dialects' expressions."""
+    from stellar_etl_spark.functions import scoring as S
+
+    sdf, con = frames
+    _, sp = S._priority_exprs(True)
+    _, dp = S._priority_exprs(False)
+    _run(sdf, con, sp.replace("doc_id", "i"), dp.replace("doc_id", "i"),
+         "priority")
