@@ -7,10 +7,12 @@ Reference analog: the reference ends its pipeline at flat export rows
 (one struct per entity, /root/reference/internal/transform/schema.go);
 a training-data pipeline continues from those rows into model-facing
 packaging (chunks, weighted samples) and model-facing *scores*
-(language-model fluency, learned quality gates, safety filters). All
-five operators here are pure DataFrame ops with exact DuckDB value
-oracles — the same integer-until-the-final-division discipline as
-functions/curation.py.
+(language-model fluency, learned quality gates, safety filters) —
+plus the composed curation pipeline chaining the gates into one
+per-stage report (the LM also ships a streamed incremental-index
+form, streaming/parity.streamed_ngram_lm). All are pure DataFrame ops
+with exact DuckDB value oracles — the same
+integer-until-the-final-division discipline as functions/curation.py.
 
 Scale notes (100 TB):
 
@@ -92,27 +94,37 @@ def chunk_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def chunk_documents_oracle(corpus_cte: str) -> str:
+def _chunk_ctes(src: str) -> str:
+    """DuckDB CTE chain producing (doc_id, chunk_idx, n_tokens,
+    chunk_text, chunk_hash) chunks from relation `src`(doc_id, text) —
+    the SINGLE source of the chunk-window SQL, shared by
+    chunk_documents_oracle and curation_pipeline_oracle."""
     C, S = CHUNK_SIZE, CHUNK_STRIDE
     tok = H.tokens("text", spark=False)
-    return f"""WITH {corpus_cte},
-base AS (SELECT doc_id, {tok} AS toks FROM corpus),
-sized AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
-          FROM base WHERE len(toks) > 0),
-idx AS (
+    return f"""
+cbase AS (SELECT doc_id, {tok} AS toks FROM {src}),
+csized AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+           FROM cbase WHERE len(toks) > 0),
+cidx AS (
   SELECT doc_id, toks, n,
          unnest(generate_series(0,
            CASE WHEN n <= {C} THEN 0 ELSE (n - {C} + {S} - 1) // {S} END)) AS chunk_idx
-  FROM sized),
-chunks AS (
+  FROM csized),
+cchunks AS (
   SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
          CAST(least({C}, n - chunk_idx * {S}) AS BIGINT) AS n_tokens,
          array_to_string(toks[chunk_idx * {S} + 1 : least(chunk_idx * {S} + {C}, n)], ' ')
            AS chunk_text
-  FROM idx)
-SELECT doc_id, chunk_idx, n_tokens, chunk_text,
-       {H.char_hash_wide('chunk_text', spark=False)} AS chunk_hash
-FROM chunks"""
+  FROM cidx),
+chashed AS (
+  SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+         {H.char_hash_wide('chunk_text', spark=False)} AS chunk_hash
+  FROM cchunks)"""
+
+
+def chunk_documents_oracle(corpus_cte: str) -> str:
+    return f"""WITH {corpus_cte},{_chunk_ctes('corpus')}
+SELECT doc_id, chunk_idx, n_tokens, chunk_text, chunk_hash FROM chashed"""
 
 
 # --- hashed-vocabulary bigram LM score --------------------------------------
@@ -171,6 +183,12 @@ def lm_score_tail(
             F.sum(F.expr(f"({LM_SCALE}L * c2) div c1")).cast("long").alias("sum_permille"),
         )
     )
+    # NO rounding on the final division: IEEE division of exact integer
+    # inputs is already bit-identical cross-engine, while round(x, 6)
+    # DIVERGES on integer-ratio quotients whose shortest decimal repr
+    # ties at the 7th place (Spark rounds via BigDecimal HALF_UP on the
+    # shortest repr, DuckDB via x*1e6 float rounding — e.g. 41/640:
+    # 0.064063 vs 0.064062, verified on both engines)
     return (
         doc_ids.select("doc_id")
         .join(perdoc, "doc_id", "left")
@@ -180,9 +198,7 @@ def lm_score_tail(
             F.coalesce("sum_permille", F.lit(0)).cast("long").alias("sum_permille"),
             F.when(
                 F.coalesce("n_bigrams", F.lit(0)) > 0,
-                F.round(
-                    F.col("sum_permille").cast("double") / F.col("n_bigrams"), 6
-                ),
+                F.col("sum_permille").cast("double") / F.col("n_bigrams"),
             )
             .otherwise(F.lit(0.0))
             .alias("lm_score_permille"),
@@ -227,7 +243,7 @@ SELECT c.doc_id,
        COALESCE(p.n_bigrams, 0) AS n_bigrams,
        COALESCE(p.sum_permille, 0) AS sum_permille,
        CASE WHEN COALESCE(p.n_bigrams, 0) > 0
-            THEN ROUND(CAST(p.sum_permille AS DOUBLE) / p.n_bigrams, 6)
+            THEN CAST(p.sum_permille AS DOUBLE) / p.n_bigrams
             ELSE 0.0 END AS lm_score_permille
 FROM corpus c LEFT JOIN perdoc p USING (doc_id)"""
 
@@ -261,8 +277,13 @@ def priority_sample(docs: DataFrame) -> DataFrame:
     TakeOrdered — per-partition top-k then a k-row driver merge, no
     global sort."""
     w, pr = _priority_exprs(spark=True)
+    # the nonempty gate is trim-based, NOT size(tokens) > 0: they are
+    # equivalent (any non-whitespace char yields >= 1 token), and a
+    # token-fold filter would re-tokenize the text in a separate
+    # operator from the projection (per-operator subexpression
+    # elimination can't reach across Filter/Project)
     return (
-        docs.filter(F.expr(w) > 0)
+        docs.filter(F.expr("coalesce(trim(text), '') <> ''"))
         .select(
             "doc_id", "lang", "source",
             F.expr(w).cast("long").alias("weight_tokens"),
@@ -279,7 +300,7 @@ def priority_sample_oracle(corpus_cte: str) -> str:
 SELECT doc_id, lang, source,
        CAST({w} AS BIGINT) AS weight_tokens,
        {pr} AS priority
-FROM corpus WHERE {w} > 0
+FROM corpus WHERE COALESCE(trim(text), '') <> ''
 ORDER BY priority DESC, doc_id LIMIT {PRIORITY_K}"""
 
 
@@ -387,31 +408,15 @@ def blocklist_hits(docs: DataFrame) -> DataFrame:
     )
 
 
-def _chunk_ctes(src: str) -> str:
-    """DuckDB CTE chain producing (doc_id, chunk_idx, chunk_text,
-    chunk_hash) chunks from relation `src`(doc_id, text) — shared by
-    the standalone chunk oracle and the pipeline oracle."""
-    C, S = CHUNK_SIZE, CHUNK_STRIDE
-    tok = H.tokens("text", spark=False)
-    return f"""
-cbase AS (SELECT doc_id, {tok} AS toks FROM {src}),
-csized AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
-           FROM cbase WHERE len(toks) > 0),
-cidx AS (
-  SELECT doc_id, toks, n,
-         unnest(generate_series(0,
-           CASE WHEN n <= {C} THEN 0 ELSE (n - {C} + {S} - 1) // {S} END)) AS chunk_idx
-  FROM csized),
-cchunks AS (
-  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
-         CAST(least({C}, n - chunk_idx * {S}) AS BIGINT) AS n_tokens,
-         array_to_string(toks[chunk_idx * {S} + 1 : least(chunk_idx * {S} + {C}, n)], ' ')
-           AS chunk_text
-  FROM cidx),
-chashed AS (
-  SELECT doc_id, chunk_idx, n_tokens, chunk_text,
-         {H.char_hash_wide('chunk_text', spark=False)} AS chunk_hash
-  FROM cchunks)"""
+def blocklist_hits_oracle(corpus_cte: str) -> str:
+    e = _block_exprs(spark=False)
+    return f"""WITH {corpus_cte}
+SELECT doc_id,
+       CAST({e['n_tok']} AS BIGINT) AS n_tokens,
+       CAST({e['n_blocked']} AS BIGINT) AS n_blocked,
+       {e['first']} AS first_blocked,
+       ({e['n_blocked']}) * 1000 > ({e['n_tok']}) * {BLOCK_MAX_PERMILLE} AS flagged
+FROM corpus"""
 
 
 # --- composed curation pipeline ---------------------------------------------
@@ -439,6 +444,9 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
 
     e_l = _logreg_exprs(spark=True)
     e_b = _block_exprs(spark=True)
+    # the fingerprint (two full char folds — the costliest expression
+    # here) is NOT computed in this staged scan: only gate-passing rows
+    # ever reach the dedup stage, so fp is derived after the filter
     staged = (
         docs.select(
             "doc_id",
@@ -448,7 +456,6 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
                 F.expr(e_b["n_blocked"]) * 1000
                 <= F.expr(e_b["n_tok"]) * F.lit(BLOCK_MAX_PERMILLE)
             ).alias("b_ok"),
-            F.expr(H.char_hash_wide(_norm_expr(True), spark=True)).alias("fp"),
         )
         .localCheckpoint(eager=True)
     )
@@ -456,7 +463,11 @@ def curation_pipeline(docs: DataFrame) -> DataFrame:
     # materialized once: stages 4-6 each aggregate over this subtree,
     # so without truncation the dedup shuffle+join would run 3x
     survivors = (
-        passed.groupBy("fp")
+        passed.select(
+            "doc_id",
+            F.expr(H.char_hash_wide(_norm_expr(True), spark=True)).alias("fp"),
+        )
+        .groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .join(passed.select("doc_id", "text"), "doc_id")
         .localCheckpoint(eager=True)
@@ -507,14 +518,3 @@ UNION ALL SELECT 3, 'blocklist', (SELECT COUNT(*) FROM p)
 UNION ALL SELECT 4, 'doc_dedup', (SELECT COUNT(*) FROM surv)
 UNION ALL SELECT 5, 'chunk', (SELECT COUNT(*) FROM chashed)
 UNION ALL SELECT 6, 'chunk_dedup', (SELECT COUNT(DISTINCT chunk_hash) FROM chashed)"""
-
-
-def blocklist_hits_oracle(corpus_cte: str) -> str:
-    e = _block_exprs(spark=False)
-    return f"""WITH {corpus_cte}
-SELECT doc_id,
-       CAST({e['n_tok']} AS BIGINT) AS n_tokens,
-       CAST({e['n_blocked']} AS BIGINT) AS n_blocked,
-       {e['first']} AS first_blocked,
-       ({e['n_blocked']}) * 1000 > ({e['n_tok']}) * {BLOCK_MAX_PERMILLE} AS flagged
-FROM corpus"""
