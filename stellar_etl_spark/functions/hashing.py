@@ -23,6 +23,22 @@ no shuffle, fully pipelined into the scan. Char-level folds cost
 O(len(text)) per row inside codegen; for a 100 TB corpus that is the
 same asymptotic cost as tokenizing, and it parallelizes linearly with
 executors (no driver involvement, no UDF serialization).
+
+CROSS-ENGINE ROUNDING HAZARD (for anyone adding oracle columns):
+``ROUND(x, 6)`` is NOT dialect-portable when x is a ratio of small
+integers. Spark rounds via BigDecimal HALF_UP on the double's shortest
+decimal repr; DuckDB multiplies by 1e6 in floating point and rounds
+that — they disagree whenever the quotient's shortest repr ties at the
+7th decimal (e.g. 41/640 → 0.064063 vs 0.064062, verified on both
+engines; ~1e-5 of random small-integer pairs). The raw IEEE division
+of exact integer inputs is already bit-identical — prefer emitting it
+unrounded (scoring.lm_score_permille does this). Rounding stays safe
+for quantities whose shortest repr is long (sqrt/cosine folds,
+float sums) and for µs-derived 6-decimal timestamps. A handful of
+legacy columns (doc_repetition ratio, text.py ratios, tool_lift,
+trainprep fracs) still round integer ratios; they are tie-free on the
+committed corpora but should migrate to unrounded divisions when next
+touched.
 """
 
 from __future__ import annotations
