@@ -279,11 +279,12 @@ def doc_repetition(docs: DataFrame) -> DataFrame:
         F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
         F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
         F.coalesce("max_repeat", F.lit(0)).cast("long").alias("max_repeat"),
+        # unrounded: ROUND(x, 6) on small-integer ratios diverges
+        # between engines on 7th-decimal ties; the raw IEEE arithmetic
+        # is bit-identical (functions/hashing.py rounding hazard note)
         F.when(
             F.coalesce("n_shingles", F.lit(0)) > 0,
-            F.round(
-                1.0 - F.col("n_distinct").cast("double") / F.col("n_shingles"), 6
-            ),
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_shingles"),
         )
         .otherwise(F.lit(0.0))
         .alias("repetition_ratio"),
@@ -308,7 +309,7 @@ SELECT c.doc_id,
        COALESCE(a.n_distinct, 0) AS n_distinct,
        COALESCE(a.max_repeat, 0) AS max_repeat,
        CASE WHEN COALESCE(a.n_shingles, 0) > 0
-            THEN ROUND(1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_shingles, 6)
+            THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_shingles
             ELSE 0.0 END AS repetition_ratio
 FROM corpus c LEFT JOIN agg a ON a.doc_id = c.doc_id
 """

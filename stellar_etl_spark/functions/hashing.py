@@ -32,13 +32,14 @@ that — they disagree whenever the quotient's shortest repr ties at the
 7th decimal (e.g. 41/640 → 0.064063 vs 0.064062, verified on both
 engines; ~1e-5 of random small-integer pairs). The raw IEEE division
 of exact integer inputs is already bit-identical — prefer emitting it
-unrounded (scoring.lm_score_permille does this). Rounding stays safe
-for quantities whose shortest repr is long (sqrt/cosine folds,
-float sums) and for µs-derived 6-decimal timestamps. A handful of
-legacy columns (doc_repetition ratio, text.py ratios, tool_lift,
-trainprep fracs) still round integer ratios; they are tie-free on the
-committed corpora but should migrate to unrounded divisions when next
-touched.
+unrounded (scoring.lm_score_permille does this). The integer-ratio
+columns (doc_repetition ratio, text.py ratios, tool_lift, trainprep
+fracs, CMS rel_overcount, latency-quantile interpolation) are
+migrated to unrounded divisions. Rounding remains only where the
+quantity's shortest repr is long and ties are measure-zero in
+practice: sqrt/cosine folds (zscore, cos_sim, kmeans dist),
+float-sum means, and the HLL estimate (dyadic-rational, nested
+rounding — documented exception, migrate with care).
 """
 
 from __future__ import annotations

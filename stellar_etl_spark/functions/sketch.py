@@ -284,10 +284,10 @@ def cms_freq(df: DataFrame, key: str, out_key: str | None = None) -> DataFrame:
             kname,
             "est_count",
             "exact_count",
-            F.round(
+            # unrounded integer ratio (hashing.py rounding-hazard note)
+            (
                 (F.col("est_count") - F.col("exact_count")).cast("double")
-                / F.col("exact_count"),
-                6,
+                / F.col("exact_count")
             ).alias("rel_overcount"),
         )
     )
@@ -325,7 +325,7 @@ probes AS ({probe_rows})
 SELECT p.conv_id,
        CAST(MIN(c.c) AS BIGINT) AS est_count,
        p.exact_count,
-       ROUND(CAST(MIN(c.c) - p.exact_count AS DOUBLE) / p.exact_count, 6)
+       CAST(MIN(c.c) - p.exact_count AS DOUBLE) / p.exact_count
          AS rel_overcount
 FROM probes p JOIN counters c ON c.d = p.d AND c.bucket = p.bucket
 GROUP BY p.conv_id, p.exact_count

@@ -52,28 +52,32 @@ def doc_stats(docs: DataFrame) -> DataFrame:
     """Per-document counting + quality score.
 
     quality = 0.4*len_score + 0.3*(1 - punct_ratio) + 0.3*stop_ratio,
-    rounded to 6dp; len_score saturates at 200 tokens. All arithmetic
-    double, identical expression both engines."""
+    len_score saturates at 200 tokens. All arithmetic double with an
+    identical expression both engines — deliberately UNROUNDED (see the
+    rounding-hazard note in functions/hashing.py)."""
     tok = H.tokens("text", spark=True)
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         F.expr(f"cast(size({tok}) as long)").alias("n_tokens_ws"),
         F.expr(f"cast(regexp_count(text, '{_BPE_RE_SPARK}') as long)").alias("n_tokens_bpe"),
+        # unrounded integer ratios: ROUND(x, 6) diverges between the
+        # engines on 7th-decimal shortest-repr ties; the raw IEEE
+        # arithmetic is bit-identical (hashing.py rounding-hazard note)
         F.expr(
-            f"round(cast(length(regexp_replace(text, '{_PUNCT_RE}', '')) as double)"
-            f" / greatest(length(text), 1), 6)"
+            f"cast(length(regexp_replace(text, '{_PUNCT_RE}', '')) as double)"
+            f" / greatest(length(text), 1)"
         ).alias("punct_ratio"),
         F.expr(
-            f"round(cast({_lang_score(tok, 'en', True)} as double)"
-            f" / greatest(size({tok}), 1), 6)"
+            f"cast({_lang_score(tok, 'en', True)} as double)"
+            f" / greatest(size({tok}), 1)"
         ).alias("stopword_ratio"),
         F.expr(
-            f"round(0.4 * least(cast(size({tok}) as double) / 200.0, 1.0)"
+            f"0.4 * least(cast(size({tok}) as double) / 200.0, 1.0)"
             f" + 0.3 * (1.0 - cast(length(regexp_replace(text, '{_PUNCT_RE}', '')) as double)"
             f"          / greatest(length(text), 1))"
             f" + 0.3 * (cast({_lang_score(tok, 'en', True)} as double)"
-            f"          / greatest(size({tok}), 1)), 6)"
+            f"          / greatest(size({tok}), 1))"
         ).alias("quality_score"),
     )
 
@@ -86,13 +90,13 @@ SELECT doc_id,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
        CAST(len({tok}) AS BIGINT) AS n_tokens_ws,
        CAST(len(regexp_extract_all(text, '{_BPE_RE_DUCK}')) AS BIGINT) AS n_tokens_bpe,
-       ROUND(CAST(LENGTH(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)
-             / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
-       ROUND(CAST({en} AS DOUBLE) / GREATEST(len({tok}), 1), 6) AS stopword_ratio,
-       ROUND(0.4 * LEAST(CAST(len({tok}) AS DOUBLE) / 200.0, 1.0)
+       CAST(LENGTH(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1) AS punct_ratio,
+       CAST({en} AS DOUBLE) / GREATEST(len({tok}), 1) AS stopword_ratio,
+       0.4 * LEAST(CAST(len({tok}) AS DOUBLE) / 200.0, 1.0)
              + 0.3 * (1.0 - CAST(LENGTH(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)
                       / GREATEST(LENGTH(text), 1))
-             + 0.3 * (CAST({en} AS DOUBLE) / GREATEST(len({tok}), 1)), 6) AS quality_score
+             + 0.3 * (CAST({en} AS DOUBLE) / GREATEST(len({tok}), 1)) AS quality_score
 FROM corpus
 """
 

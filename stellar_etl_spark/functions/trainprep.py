@@ -101,7 +101,7 @@ hits AS (
 SELECT b.doc_id,
        CAST(len(b.hs) AS BIGINT) AS n_grams,
        COALESCE(h.n_hits, 0) AS n_hits,
-       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(b.hs), 6) AS overlap_frac,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(b.hs) AS overlap_frac,
        CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / len(b.hs) >= {CONTAM_T}
          AS contaminated
 FROM body b LEFT JOIN hits h ON h.doc_id = b.doc_id
@@ -199,9 +199,9 @@ def _decontam_assemble(body: DataFrame, hits: DataFrame) -> DataFrame:
             "doc_id",
             "n_grams",
             F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_grams"), 6
-            ).alias("overlap_frac"),
+            # unrounded integer ratio (hashing.py rounding-hazard note)
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_grams"))
+            .alias("overlap_frac"),
             (
                 F.coalesce("n_hits", F.lit(0)).cast("double") / F.col("n_grams")
                 >= CONTAM_T
@@ -322,9 +322,8 @@ def boilerplate_spans(corpus: DataFrame) -> DataFrame:
             "doc_id",
             "n_spans",
             "n_bp",
-            F.round(F.col("n_bp").cast("double") / F.col("n_spans"), 6).alias(
-                "bp_ratio"
-            ),
+            # unrounded integer ratio (hashing.py rounding-hazard note)
+            (F.col("n_bp").cast("double") / F.col("n_spans")).alias("bp_ratio"),
             "cleaned_text",
         )
     )
@@ -348,8 +347,8 @@ bp AS (SELECT h FROM hashed GROUP BY h HAVING COUNT(DISTINCT doc_id) >= {BP_DF})
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_spans,
        CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM bp)) AS BIGINT) AS n_bp,
-       ROUND(CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM bp)) AS DOUBLE)
-             / COUNT(*), 6) AS bp_ratio,
+       CAST(COUNT(*) FILTER (WHERE h IN (SELECT h FROM bp)) AS DOUBLE)
+             / COUNT(*) AS bp_ratio,
        COALESCE(string_agg(span, ' ' ORDER BY pos)
                 FILTER (WHERE h NOT IN (SELECT h FROM bp)), '') AS cleaned_text
 FROM hashed GROUP BY doc_id

@@ -286,11 +286,10 @@ def tool_lift(df: DataFrame) -> DataFrame:
             "n_a",
             "n_b",
             "n_convs",
-            F.round(
-                F.expr(
-                    "CAST(n_convs * n_both AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)"
-                ),
-                6,
+            # unrounded integer ratio: see the rounding-hazard note in
+            # functions/hashing.py (raw IEEE division is bit-identical)
+            F.expr(
+                "CAST(n_convs * n_both AS DOUBLE) / CAST(n_a * n_b AS DOUBLE)"
             ).alias("lift"),
         )
     )
@@ -311,8 +310,8 @@ TOOL_LIFT_ORACLE_SQL = """
     )
     SELECT pr.tool_a, pr.tool_b, pr.n_both,
            ca.n_tool AS n_a, cb.n_tool AS n_b, n.n_convs,
-           ROUND(CAST(n.n_convs * pr.n_both AS DOUBLE)
-                 / CAST(ca.n_tool * cb.n_tool AS DOUBLE), 6) AS lift
+           CAST(n.n_convs * pr.n_both AS DOUBLE)
+                 / CAST(ca.n_tool * cb.n_tool AS DOUBLE) AS lift
     FROM pr
     JOIN per_tool ca ON ca.tool = pr.tool_a
     JOIN per_tool cb ON cb.tool = pr.tool_b

@@ -155,7 +155,9 @@ def latency_quantiles(pairs: DataFrame) -> DataFrame:
         d = rem.cast("double") / 1000.0
         # rem is constant per group; max() carries it through the agg
         q = lo + F.max(d) * (hi - lo)
-        aggs.append(F.round(q, 6).alias(f"p{pm}"))
+        # unrounded: ROUND can tie at the 7th decimal when d*(hi-lo)
+        # lands on an exact half-ulp decimal (hashing.py hazard note)
+        aggs.append(q.alias(f"p{pm}"))
     return (
         ranked.groupBy("responder")
         .agg(*aggs)
@@ -167,12 +169,12 @@ def latency_quantiles_oracle_sql() -> str:
     cols = []
     for pm in QUANTILES_PERMILLE:
         cols.append(
-            f"ROUND(MAX(CASE WHEN rn = ({pm} * (n - 1)) // 1000 + 1 THEN latency_s END)"
+            f"MAX(CASE WHEN rn = ({pm} * (n - 1)) // 1000 + 1 THEN latency_s END)"
             f" + MAX(CAST(({pm} * (n - 1)) % 1000 AS DOUBLE) / 1000.0)"
             f" * (MAX(CASE WHEN rn = LEAST(({pm} * (n - 1)) // 1000 + 2, n)"
             f"              THEN latency_s END)"
-            f"    - MAX(CASE WHEN rn = ({pm} * (n - 1)) // 1000 + 1 THEN latency_s END)),"
-            f" 6) AS p{pm}"
+            f"    - MAX(CASE WHEN rn = ({pm} * (n - 1)) // 1000 + 1 THEN latency_s END))"
+            f" AS p{pm}"
         )
     qcols = ",\n         ".join(cols)
     return (

@@ -712,7 +712,7 @@ def streamed_latency_quantiles(
         # rem is constant per responder; max() carries it through (the
         # same trick as the batch form, keeping the arithmetic identical)
         qv = lo + F.max(d) * (hi - lo)
-        aggs.append(F.round(qv, 6).alias(f"p{pm}"))
+        aggs.append(qv.alias(f"p{pm}"))  # unrounded (hazard note)
     return (
         h.groupBy("responder")
         .agg(*aggs)
@@ -849,10 +849,10 @@ def streamed_conv_turns_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conv_id",
             "est_count",
             "exact_count",
-            F.round(
+            # unrounded integer ratio (hashing.py rounding-hazard note)
+            (
                 (F.col("est_count") - F.col("exact_count")).cast("double")
-                / F.col("exact_count"),
-                6,
+                / F.col("exact_count")
             ).alias("rel_overcount"),
         )
     )
