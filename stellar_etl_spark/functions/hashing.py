@@ -38,8 +38,9 @@ fracs, CMS rel_overcount, latency-quantile interpolation) are
 migrated to unrounded divisions. Rounding remains only where the
 quantity's shortest repr is long and ties are measure-zero in
 practice: sqrt/cosine folds (zscore, cos_sim, kmeans dist),
-float-sum means, and the HLL estimate (dyadic-rational, nested
-rounding — documented exception, migrate with care).
+float-sum means, and the HLL estimate — where the 6dp round is
+load-bearing, deliberately absorbing the engines' libm ln()
+differences in the linear-counting branch (do NOT unround it).
 """
 
 from __future__ import annotations
