@@ -100,9 +100,9 @@ FROM gated WHERE sample_gate < rate_permille
 
 # --- quality-filter funnel ---------------------------------------------------
 # Ordered curation gates; a doc is dropped at its FIRST failed stage.
-# Thresholds compare values that are computed with the identical
-# expression on both engines (counts, or ratios rounded to 6dp before
-# the comparison), so stage membership is deterministic cross-engine.
+# Thresholds compare values computed with the identical expression on
+# both engines (counts, or raw IEEE ratios — bit-identical), so stage
+# membership is deterministic cross-engine.
 FUNNEL_MIN_TOKENS = 20
 FUNNEL_MAX_PUNCT = 0.2
 
@@ -120,9 +120,12 @@ def _funnel_first_fail(spark: bool) -> str:
         if spark
         else "regexp_replace(text, '[^.,;:!?]', '', 'g')"
     )
+    # unrounded: the raw IEEE ratio is bit-identical cross-engine, so
+    # the threshold comparison is deterministic; ROUND would add a
+    # 7th-decimal tie hazard (hashing.py rounding-hazard note)
     punct = (
-        f"round(CAST(length({repl}) AS DOUBLE)"
-        f" / greatest(length(text), 1), 6)"
+        f"CAST(length({repl}) AS DOUBLE)"
+        f" / greatest(length(text), 1)"
     )
     stop_list = "'the', 'a', 'of', 'and', 'to', 'in', 'is', 'on', 'for', 'with'"
     if spark:
@@ -344,10 +347,11 @@ def doc_top_terms(docs: DataFrame, k: int = TOP_TERMS_K) -> DataFrame:
         tf.join(df_tbl, "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
+            # unrounded integer ratio — a ROUND tie here would not just
+            # shift a digit, it would reorder the term_rank window
+            # (hashing.py rounding-hazard note)
             "tfidf",
-            F.round(
-                (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"), 6
-            ),
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -376,7 +380,7 @@ dfs AS (
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM corpus),
 scored AS (
   SELECT tf.doc_id, tf.token, tf.tf, dfs.df,
-         ROUND(CAST(tf.tf * n.n_docs AS DOUBLE) / dfs.df, 6) AS tfidf
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfs.df AS tfidf
   FROM tf JOIN dfs USING (token) CROSS JOIN n
 ),
 ranked AS (

@@ -277,13 +277,15 @@ def priority_sample(docs: DataFrame) -> DataFrame:
     TakeOrdered — per-partition top-k then a k-row driver merge, no
     global sort."""
     w, pr = _priority_exprs(spark=True)
-    # the nonempty gate is trim-based, NOT size(tokens) > 0: they are
-    # equivalent (any non-whitespace char yields >= 1 token), and a
-    # token-fold filter would re-tokenize the text in a separate
-    # operator from the projection (per-operator subexpression
-    # elimination can't reach across Filter/Project)
+    # the nonempty gate is regex-based, NOT size(tokens) > 0: "text
+    # contains a non-whitespace char" is exactly ">= 1 token" (tokens
+    # split on \s+), and a token-fold filter would re-tokenize the text
+    # in a separate operator from the projection (per-operator
+    # subexpression elimination can't reach across Filter/Project).
+    # trim() would NOT be equivalent — it strips spaces only, letting
+    # tab/newline-only docs through with weight 0.
     return (
-        docs.filter(F.expr("coalesce(trim(text), '') <> ''"))
+        docs.filter(F.expr("text RLIKE '\\\\S'"))
         .select(
             "doc_id", "lang", "source",
             F.expr(w).cast("long").alias("weight_tokens"),
@@ -300,7 +302,7 @@ def priority_sample_oracle(corpus_cte: str) -> str:
 SELECT doc_id, lang, source,
        CAST({w} AS BIGINT) AS weight_tokens,
        {pr} AS priority
-FROM corpus WHERE COALESCE(trim(text), '') <> ''
+FROM corpus WHERE regexp_matches(text, '\\S')
 ORDER BY priority DESC, doc_id LIMIT {PRIORITY_K}"""
 
 

@@ -122,10 +122,12 @@ def hll_join_exact(
         "n_registers",
         "est_distinct",
         "exact_distinct",
-        F.round(
+        # unrounded: est_distinct is a 6dp decimal over an integer —
+        # a scaled integer ratio with the ROUND tie hazard; the raw
+        # division of identical operands is bit-identical
+        (
             F.abs(F.col("est_distinct") - F.col("exact_distinct"))
-            / F.col("exact_distinct"),
-            6,
+            / F.col("exact_distinct")
         ).alias("rel_err"),
     )
 
@@ -187,8 +189,8 @@ exact AS (
 )
 SELECT e.tool, e.n_registers, ROUND(e.est_raw, 6) AS est_distinct,
        x.exact_distinct,
-       ROUND(ABS(ROUND(e.est_raw, 6) - x.exact_distinct)
-             / x.exact_distinct, 6) AS rel_err
+       ABS(ROUND(e.est_raw, 6) - x.exact_distinct)
+             / x.exact_distinct AS rel_err
 FROM est e JOIN exact x ON x.tool = e.tool
 """
 

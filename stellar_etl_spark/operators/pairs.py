@@ -251,7 +251,10 @@ def latency_outliers(pairs: DataFrame) -> DataFrame:
             "user_turn_idx",
             F.col("lat_s").alias("latency_floor_s"),
             "n_pairs",
-            F.round("mu", 6).alias("mean_s"),
+            # mean is an unrounded integer ratio (floored-seconds sum
+            # over count — hashing.py hazard note); zscore keeps its
+            # round (sqrt-based, repr-long, tie-free)
+            F.col("mu").alias("mean_s"),
             F.round("zscore", 6).alias("zscore"),
         )
     )
@@ -282,7 +285,7 @@ def latency_outliers_oracle_sql() -> str:
     )
     SELECT responder, conv_id, user_turn_idx,
            lat_s AS latency_floor_s, n_pairs,
-           ROUND(mu, 6) AS mean_s,
+           mu AS mean_s,
            ROUND((CAST(lat_s AS DOUBLE) - mu) / sqrt(var), 6) AS zscore
     FROM scored
     WHERE var > 0

@@ -112,12 +112,17 @@ def test_blocklist_flag_consistency(spark, docs):
         )
 
 
-def test_lm_score_bounds(spark, docs):
-    """Hashed-bigram conditional permille is bounded by construction
-    (c2 <= c1 absent hash collisions), so the mean stays in [0, 1000]."""
+def test_lm_score_consistency(spark, docs):
+    """Score is exactly the mean of the integer permille sum, zero for
+    sub-bigram docs. (No upper-bound assertion: c2 <= c1 holds only
+    absent bigram-hash collisions, so a 1000-permille cap would be a
+    corpus-size-dependent flake.)"""
     for r in S.ngram_lm_score(docs).collect():
-        assert 0 <= r["sum_permille"] <= 1000 * max(r["n_bigrams"], 1)
-        assert 0.0 <= r["lm_score_permille"] <= 1000.0
+        assert r["sum_permille"] >= 0 and r["n_bigrams"] >= 0
+        if r["n_bigrams"] > 0:
+            assert r["lm_score_permille"] == r["sum_permille"] / r["n_bigrams"]
+        else:
+            assert r["sum_permille"] == 0 and r["lm_score_permille"] == 0.0
 
 
 def test_curation_pipeline_composition(spark, docs):

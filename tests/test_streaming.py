@@ -32,14 +32,16 @@ def _hard_kill(q):
     IS the simulated crash: the checkpoint is intact by construction
     (commits are atomic), and whether the kill corrupted anything is
     exactly what each kill/resume test's post-resume equality
-    assertions then verify. Non-stream exceptions still raise."""
-    from py4j.protocol import Py4JJavaError
+    assertions then verify. Only the stream's own terminal report
+    (StreamingQueryException) is swallowed; anything else — including
+    raw Py4J JVM errors, which would mask a genuine foreachBatch or
+    writer bug — still raises."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
     q.stop()
     try:
         q.awaitTermination(60)
-    except (StreamingQueryException, Py4JJavaError):
+    except StreamingQueryException:
         pass
 
 from stellar_etl_spark.streaming.pipeline import start_fanout, start_windowed
