@@ -7,12 +7,14 @@ some committed round artifact or sit inside the window — a query that
 is neither is invisible to the hard gate, exactly the round-3
 regression (VERDICT r03 "What's wrong" #1). Once never-green queries
 outnumber the 50 seats, a wait-list is unavoidable; the enforced
-invariant then is that no seat is WASTED: a query green in the LATEST
-round may not hold a seat while a never-green query waits outside
-(seats re-validating queries whose last green row is older are
-legitimate — the code may have moved since). tools/gating_ledger.py
-implements the rule; adding a registry-tail query while a fresh-green
-query sits in the window trips this test.
+invariant then is that no seat is WASTED: while any never-green query
+waits outside, NO query with a green row in ANY committed round may
+hold a seat — regardless of how old that green row is — unless it has
+a live entry in gating_ledger.REVALIDATION_SEATS (a VERDICT-mandated
+re-gate, bound to the mandating round and self-expiring when the next
+artifact lands). tools/gating_ledger.py implements the rule; adding a
+registry-tail query while an already-green query sits unexempted in
+the window trips this test.
 """
 
 import subprocess
