@@ -272,6 +272,21 @@ def _q_turn_tools_streamed(spark, sf):
     return parity.streamed_turn_tools(spark, sf)
 
 
+def _q_fanout_streamed(spark, sf):
+    """Composed multi-output streaming DAG under ONE checkpoint: one
+    transcript stream fans out to three tables (row-local projection,
+    windowed-rate partial, per-(tool,conv) partial) inside a single
+    foreachBatch with all-or-nothing epoch commit — the reference's
+    one-consumer-loop/many-tables demux
+    (cmd/export_ledger_entry_changes.go:129-271) with atomicity. The
+    fold joins all three tables into one per-tool report; oracle = the
+    batch per-tool SQL, so a duplicated/dropped epoch in ANY table
+    breaks the hash."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_fanout(spark, sf)
+
+
 def _q_dup_clusters(spark, sf):
     return fdedup.dup_clusters(_C(spark, sf))
 
@@ -286,6 +301,13 @@ def _q_ann_brute(spark, sf):
 
 def _q_ann_sq8(spark, sf):
     return fsim.ann_sq8(fcorpus.load_embeddings(spark, sf))
+
+
+def _q_ann_ivf2(spark, sf):
+    """Hierarchical two-level IVF: N^1.25 assignment replacing
+    ann_ivf's N^1.5 (the VERDICT r04 #7 scalability fix), fully
+    deterministic routing so the DuckDB oracle mirrors it exactly."""
+    return fsim.ann_ivf2(fcorpus.load_embeddings(spark, sf))
 
 
 def _q_ann_lsh(spark, sf):
@@ -429,9 +451,12 @@ def _q_dq_violations(spark, sf):
 def _q_dq_violations_streamed(spark, sf):
     """T49 streamed: the integrity monitor as a streaming query —
     row-local checks emit per micro-batch (stateless branch), order
-    checks (dup/gap/ts-regression) buffer a compact per-turn ledger in
-    applyInPandasWithState and finalize per conversation at event-time
-    timeout. Same injection, same oracle as the batch checker."""
+    checks (dup/gap/ts-regression) maintain BOUNDED per-distinct-idx
+    group statistics (count/min/max ts — provably sufficient for the
+    batch semantics, streaming/dq.py module doc) in
+    applyInPandasWithState, partially finalizing past the open-group
+    ceiling and fully at event-time timeout. Same injection, same
+    oracle as the batch checker."""
     from stellar_etl_spark.streaming import parity
 
     return parity.streamed_dq_violations(spark, sf)
@@ -681,6 +706,29 @@ def _q_turn_pairs_streamed(spark, sf):
     return parity.streamed_turn_pairs(spark, sf, CFG)
 
 
+def _q_turn_pairs_disorder_streamed(spark, sf):
+    """Adversarial out-of-order ingestion behind the hard gate
+    (VERDICT r04 "Next round" #5): the watermark-ordered matcher
+    (streaming/ooo.py — rows buffer per conversation and replay in
+    turn_idx order as the watermark passes them) drained over the
+    REVERSED file-delivery copy of the sliced input
+    (parity.disorder_dir) at one file per trigger — every micro-batch
+    delivers events earlier than everything already buffered, so
+    replies arrive before their user turns and correctness rests
+    entirely on watermark semantics. Oracle: unchanged — the batch
+    matcher's SQL; the result must be delivery-order invariant."""
+    from stellar_etl_spark.streaming import parity
+
+    return parity.streamed_turn_pairs(
+        spark,
+        sf,
+        CFG,
+        src_dir=parity.disorder_dir(spark, sf, "reverse"),
+        max_files_per_trigger=1,
+        ooo=True,
+    )
+
+
 # NOTE: a transformWithState (Spark 4 StatefulProcessor) form of the
 # matcher exists at streaming/matcher_tws.py with the same oracle-exact
 # semantics (parity.streamed_turn_pairs_tws); it is NOT registered as a
@@ -833,14 +881,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "initiating_user": _q_initiating_user,
         "dim_tools": _q_dim_tools,
+        # (4) new or modified in round 5 — must gate this round:
+        # fanout_streamed is NEW (single-checkpoint multi-table DAG),
+        # turn_pairs_disorder_streamed is NEW (reversed-delivery drain
+        # through the watermark-ordered matcher), ann_topk_ivf2 is NEW
+        # (hierarchical N^1.25 assignment), dq_violations_streamed was
+        # REWRITTEN (bounded group-stats state replacing the turn
+        # ledger)
+        "fanout_streamed": _q_fanout_streamed,
+        "ann_topk_ivf2": _q_ann_ivf2,
+        "turn_pairs_disorder_streamed": _q_turn_pairs_disorder_streamed,
+        "dq_violations_streamed": _q_dq_violations_streamed,
+        # ---- position 50 boundary. Below: r03-green flagship remainder,
         "explode_tokens": _q_explode_tokens,
         "top_convs": _q_top_convs,
-        "turn_range_from_times": _q_turn_range_from_times,
-        "transform_stats": _q_transform_stats,
-        # ---- position 50 boundary. Below: r03-green flagship remainder,
         # then everything green in CORRECTNESS_r04.json (last round),
         # then the thrice-green r1/r2/r4 set. All re-verified by
         # tests/test_oracle_parity.py every suite run.
+        "turn_range_from_times": _q_turn_range_from_times,
+        "transform_stats": _q_transform_stats,
         "salted_tool_rate": _q_salted_tool_rate,
         "fact_tool_events": _q_fact_tool_events,
         "derived_events": _q_derived_events,
@@ -883,7 +942,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_streamed": _q_bm25_topk_streamed,
         "corpus_profile": _q_corpus_profile,
         "dq_violations": _q_dq_violations,
-        "dq_violations_streamed": _q_dq_violations_streamed,
         "burst_concurrency": _q_burst_concurrency,
         "retrieve_rerank": _q_retrieve_rerank,
         "tool_pagerank": _q_tool_pagerank,
@@ -965,6 +1023,8 @@ def oracle_sql() -> dict[str, str]:
         "state_conv_tools": _W + state.STATE_CONV_TOOLS_ORACLE_SQL,
         "state_intervals": _W + state.STATE_INTERVALS_ORACLE_SQL,
         "turn_pairs_streamed": _W + pairs.PAIRS_ORACLE_SQL,
+        # delivery-order invariance: same oracle as the ordered drain
+        "turn_pairs_disorder_streamed": _W + pairs.PAIRS_ORACLE_SQL,
         "snapshot_streamed": _W + state.COMPACT_ORACLE_SQL,
         "snapshot_ttl_streamed": _W + state.COMPACT_ORACLE_SQL
         + _snapshot_ttl_having(),
@@ -996,6 +1056,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_profile": _corpus_profile_oracle(),
         "dq_violations": _W + dq.DQ_ORACLE_SQL,
         "dq_violations_streamed": _W + dq.DQ_ORACLE_SQL,
+        # one per-tool report gating all three fan-out tables at once
+        "fanout_streamed": _W + _parity_fanout_sql(),
         "burst_concurrency": _W + intervals.BURST_CONCURRENCY_ORACLE_SQL,
         "retrieve_rerank": _retrieve_rerank_oracle(),
         "tool_pagerank": _W + journeys.tool_pagerank_oracle_sql(),
@@ -1027,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_sq8": fsim.ann_sq8_oracle(fcorpus.EMB_CTE),
         "ann_topk_lsh": fsim.ann_lsh_oracle(fcorpus.EMB_CTE),
         "ann_topk_ivf": fsim.ann_ivf_oracle(fcorpus.EMB_CTE),
+        "ann_topk_ivf2": fsim.ann_ivf2_oracle(fcorpus.EMB_CTE),
         "corpus_sample": fcur.stratified_sample_oracle(fcorpus.CORPUS_CTE),
         "doc_top_terms": fcur.doc_top_terms_oracle(fcorpus.CORPUS_CTE),
         "latency_quantiles": _W + pairs.latency_quantiles_oracle_sql(),
@@ -1074,3 +1137,9 @@ def _parity_turn_tools_sql() -> str:
     from stellar_etl_spark.streaming.parity import TURN_TOOLS_ORACLE_SQL
 
     return TURN_TOOLS_ORACLE_SQL
+
+
+def _parity_fanout_sql() -> str:
+    from stellar_etl_spark.streaming.parity import FANOUT_ORACLE_SQL
+
+    return FANOUT_ORACLE_SQL

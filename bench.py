@@ -160,6 +160,15 @@ def main() -> None:
         "n_input_turns": n_turns,
         "turns_per_sec": round(n_turns * len(timings) / total, 1) if total else None,
         "cpus": cpus,
+        # self-describing gate split (VERDICT r04 "Next round" #9): the
+        # driver's CORRECTNESS artifact gates the first 50 registry
+        # positions, so record which queries were driver-gated this
+        # round without needing GATING.md
+        "gate_window": {
+            "window_size": 50,
+            "driver_gated": list(qs)[:50],
+            "tail": list(qs)[50:],
+        },
         # machine-readable env-skip record: the transformWithState form
         # of the J1 matcher (streaming/matcher_tws.py) needs the
         # protobuf runtime for the TWS state-server protocol; where

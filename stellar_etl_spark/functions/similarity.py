@@ -416,3 +416,246 @@ ranked AS (
 SELECT query_id, neighbor_id, CAST(qdot AS BIGINT) AS qdot, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --- hierarchical IVF (two-level coarse quantizer) ---------------------------
+
+IVF2_ROUTE = 2  # coarse cells probed per vector during assignment
+IVF2_COARSE_RESIDUE = 3  # deterministic coarse-seed residue
+
+
+def ann_ivf2(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K_IVF,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Hierarchical IVF — the assignment-scalability fix for ann_ivf
+    (VERDICT r04 "Next round" #7).
+
+    ann_ivf's corpus-side assignment scores every vector against all
+    C ~ sqrt(N) fine centroids: N^1.5 dots total, which is exactly why
+    its 100x wall ratio (23.7, SCALE_EMBED_100X.json) towers over the
+    rest of the ANN family — at 100x replicas the assignment dot count
+    grows 1000x. This variant routes assignment through a second-level
+    COARSE quantizer: C0 ~ sqrt(C) ~ N^(1/4) coarse seeds (the same
+    deterministic residue sampling applied to the fine seeds); each
+    fine centroid belongs to its nearest coarse seed; a vector scores
+    the C0 coarse seeds, takes its IVF2_ROUTE best cells, and scores
+    only those cells' fine centroids. Total assignment work is
+    N*(C0 + ROUTE*C/C0) ~ N^1.25 dots — the classical IVF train-time
+    hierarchy, relationally. Assignment becomes approximate in the
+    standard way (the true nearest fine centroid can sit in an
+    unrouted coarse cell); the rule stays fully deterministic
+    ((-cos, id) ordering on bit-identical fold arithmetic), so the
+    DuckDB oracle mirrors it exactly and the gate stays value-exact.
+    Query-side probing is unchanged (n_queries x C is negligible), so
+    recall behavior differs from ann_ivf only through assignment.
+
+    Scale shape (100 TB): coarse seeds and the fine->coarse map are
+    both broadcast (C0 and C rows); routing is one broadcast
+    nested-loop + a per-vector top-ROUTE fold over C0-sized collected
+    arrays (no corpus-wide window); candidate scoring shuffles on
+    nothing new — the only per-vector state is ROUTE routed cells."""
+    import math
+
+    n = emb.count()
+    mod = max(1, math.floor(math.sqrt(n)))
+    withn = emb.withColumn("nrm", F.expr(H.norm_fold("emb", spark=True)))
+    cents = withn.filter(
+        F.col("vec_id") % mod == IVF_CENT_RESIDUE % mod
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("emb").alias("cemb"),
+        F.col("nrm").alias("cnrm"),
+    )
+    n_fine = cents.count()  # 1-row scalar
+    mod2 = max(1, math.floor(math.sqrt(n_fine)))
+    coarse = F.broadcast(
+        cents.filter(
+            F.col("cent_id") % mod2 == IVF2_COARSE_RESIDUE % mod2
+        ).select(
+            F.col("cent_id").alias("coarse_id"),
+            F.col("cemb").alias("oemb"),
+            F.col("cnrm").alias("onrm"),
+        )
+    )
+
+    # fine centroid -> nearest coarse cell (C x C0 dots, broadcast-size)
+    cos_fc = F.expr(
+        f"{H.dot_fold('cemb', 'oemb', spark=True)} / (sqrt(cnrm) * sqrt(onrm))"
+    )
+    f2c = F.broadcast(
+        cents.crossJoin(coarse)
+        .withColumn("fcos", cos_fc)
+        .groupBy("cent_id")
+        .agg(
+            F.min_by(
+                F.col("coarse_id"),
+                F.struct((-F.col("fcos")).alias("nc"), F.col("coarse_id")),
+            ).alias("coarse_id")
+        )
+        .join(cents, "cent_id")
+    )
+
+    # vector routing: top-ROUTE coarse cells via a per-vector array
+    # fold (C0 entries collected per vector — no corpus-wide window)
+    cos_vc = F.expr(
+        f"{H.dot_fold('emb', 'oemb', spark=True)} / (sqrt(nrm) * sqrt(onrm))"
+    )
+    routes = (
+        withn.crossJoin(coarse)
+        .withColumn("rcos", cos_vc)
+        .groupBy("vec_id")
+        .agg(
+            F.expr(
+                "transform("
+                f"  slice(array_sort(collect_list(struct(-rcos AS nc, coarse_id))), 1, {IVF2_ROUTE}),"
+                "  x -> x.coarse_id)"
+            ).alias("cells")
+        )
+        .select("vec_id", F.explode("cells").alias("coarse_id"))
+    )
+
+    # assignment: argmax cosine over the routed cells' fine centroids
+    cos_a = F.expr(
+        f"{H.dot_fold('emb', 'cemb', spark=True)} / (sqrt(nrm) * sqrt(cnrm))"
+    )
+    assign = (
+        withn.join(routes, "vec_id")
+        .join(f2c, "coarse_id")
+        .withColumn("acos", cos_a)
+        .groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.col("cent_id"),
+                F.struct((-F.col("acos")).alias("nc"), F.col("cent_id")),
+            ).alias("list_id")
+        )
+    )
+
+    # query-side probes + exact rerank: identical to ann_ivf
+    cos_q = F.expr(
+        f"{H.dot_fold('emb', 'cemb', spark=True)} / (sqrt(nrm) * sqrt(cnrm))"
+    )
+    scored_cents = withn.filter(F.col("vec_id") < n_queries).crossJoin(
+        F.broadcast(cents)
+    ).withColumn("ccos", cos_q)
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cent_id"))
+    probes = (
+        scored_cents.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("list_id"))
+    )
+    q = F.broadcast(
+        withn.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("emb").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    members = withn.join(assign, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("ce"),
+        F.col("nrm").alias("cn"),
+        "list_id",
+    )
+    cand = (
+        F.broadcast(probes).join(members, "list_id")
+        .join(q, "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = cand.withColumn(
+        "cos_sim",
+        F.expr(f"{H.dot_fold('qe', 'ce', spark=True)} / (sqrt(qn) * sqrt(cn))"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def ann_ivf2_oracle(
+    emb_cte: str,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K_IVF,
+    nprobe: int = IVF_NPROBE,
+) -> str:
+    dot_fc = H.dot_fold("f.emb", "o.emb", spark=False)
+    dot_vc = H.dot_fold("v.emb", "o.emb", spark=False)
+    dot_va = H.dot_fold("v.emb", "f.emb", spark=False)
+    dotc = H.dot_fold("v.emb", "c.emb", spark=False)
+    dotq = H.dot_fold("q.emb", "m.emb", spark=False)
+    nf = H.norm_fold("emb", spark=False)
+    return f"""WITH {emb_cte},
+nrms AS (SELECT vec_id, emb, {nf} AS nrm FROM emb),
+m AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS md FROM emb),
+cents AS (SELECT vec_id AS cent_id, emb, nrm FROM nrms, m
+          WHERE vec_id % m.md = {IVF_CENT_RESIDUE} % m.md),
+m2 AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS md2 FROM cents),
+coarse AS (SELECT cent_id AS coarse_id, emb, nrm FROM cents, m2
+           WHERE cent_id % m2.md2 = {IVF2_COARSE_RESIDUE} % m2.md2),
+f2c AS (
+  SELECT cent_id, coarse_id FROM (
+    SELECT f.cent_id, o.coarse_id,
+           ROW_NUMBER() OVER (PARTITION BY f.cent_id
+                              ORDER BY {dot_fc} / (sqrt(f.nrm) * sqrt(o.nrm)) DESC,
+                                       o.coarse_id) AS rn
+    FROM cents f CROSS JOIN coarse o
+  ) WHERE rn = 1
+),
+routes AS (
+  SELECT vec_id, coarse_id FROM (
+    SELECT v.vec_id, o.coarse_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dot_vc} / (sqrt(v.nrm) * sqrt(o.nrm)) DESC,
+                                       o.coarse_id) AS rn
+    FROM nrms v CROSS JOIN coarse o
+  ) WHERE rn <= {IVF2_ROUTE}
+),
+assign AS (
+  SELECT vec_id, cent_id AS list_id FROM (
+    SELECT v.vec_id, f.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dot_va} / (sqrt(v.nrm) * sqrt(f.nrm)) DESC,
+                                       f.cent_id) AS rn
+    FROM nrms v
+    JOIN routes r ON r.vec_id = v.vec_id
+    JOIN f2c ON f2c.coarse_id = r.coarse_id
+    JOIN cents f ON f.cent_id = f2c.cent_id
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS list_id FROM (
+    SELECT v.vec_id, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dotc} / (sqrt(v.nrm) * sqrt(c.nrm)) DESC,
+                                       c.cent_id) AS pr
+    FROM nrms v CROSS JOIN cents c WHERE v.vec_id < {n_queries}
+  ) WHERE pr <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.list_id = p.list_id
+  WHERE a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {dotq} / (sqrt(q.nrm) * sqrt(m.nrm)) AS cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY cd.query_id
+                            ORDER BY {dotq} / (sqrt(q.nrm) * sqrt(m.nrm)) DESC,
+                                     cd.neighbor_id) AS rank
+  FROM cand cd
+  JOIN nrms q ON q.vec_id = cd.query_id
+  JOIN nrms m ON m.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -48,55 +48,77 @@ def _lang_score(tok: str, lang: str, spark: bool) -> str:
     return f"len(list_filter({tok}, t -> t IN ({words})))"
 
 
-def doc_stats(docs: DataFrame) -> DataFrame:
-    """Per-document counting + quality score.
+def punct_ratio_expr(spark: bool) -> str:
+    """Non-punctuation char share — raw IEEE division, deliberately
+    UNROUNDED (ROUND(x, 6) diverges between the engines on 7th-decimal
+    shortest-repr ties; see the rounding-hazard note in hashing.py).
+    Shared by doc_stats and its oracle so the dialect-parity fuzz
+    battery (tests/test_hashing_parity.py) always covers the shipped
+    expression."""
+    if spark:
+        return (
+            f"cast(length(regexp_replace(text, '{_PUNCT_RE}', '')) as double)"
+            f" / greatest(length(text), 1)"
+        )
+    return (
+        f"CAST(LENGTH(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)"
+        f" / GREATEST(LENGTH(text), 1)"
+    )
 
-    quality = 0.4*len_score + 0.3*(1 - punct_ratio) + 0.3*stop_ratio,
-    len_score saturates at 200 tokens. All arithmetic double with an
-    identical expression both engines — deliberately UNROUNDED (see the
-    rounding-hazard note in functions/hashing.py)."""
+
+def stopword_ratio_expr(spark: bool) -> str:
+    tok = H.tokens("text", spark=spark)
+    en = _lang_score(tok, "en", spark)
+    if spark:
+        return f"cast({en} as double) / greatest(size({tok}), 1)"
+    return f"CAST({en} AS DOUBLE) / GREATEST(len({tok}), 1)"
+
+
+def quality_score_expr(spark: bool) -> str:
+    """0.4*len_score + 0.3*(1 - punct_ratio) + 0.3*stop_ratio, len
+    score saturating at 200 tokens. A multi-term double expression:
+    bit-parity rests on both engines evaluating the identical op
+    sequence with no FP contraction, which is exactly what the fuzz
+    battery pins (ADVICE r04 #3)."""
+    tok = H.tokens("text", spark=spark)
+    if spark:
+        return (
+            f"0.4 * least(cast(size({tok}) as double) / 200.0, 1.0)"
+            f" + 0.3 * (1.0 - {punct_ratio_expr(True)})"
+            f" + 0.3 * ({stopword_ratio_expr(True)})"
+        )
+    return (
+        f"0.4 * LEAST(CAST(len({tok}) AS DOUBLE) / 200.0, 1.0)"
+        f" + 0.3 * (1.0 - {punct_ratio_expr(False)})"
+        f" + 0.3 * ({stopword_ratio_expr(False)})"
+    )
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Per-document counting + quality score (expression builders
+    shared with the oracle and the dialect fuzz battery above)."""
     tok = H.tokens("text", spark=True)
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         F.expr(f"cast(size({tok}) as long)").alias("n_tokens_ws"),
         F.expr(f"cast(regexp_count(text, '{_BPE_RE_SPARK}') as long)").alias("n_tokens_bpe"),
-        # unrounded integer ratios: ROUND(x, 6) diverges between the
-        # engines on 7th-decimal shortest-repr ties; the raw IEEE
-        # arithmetic is bit-identical (hashing.py rounding-hazard note)
-        F.expr(
-            f"cast(length(regexp_replace(text, '{_PUNCT_RE}', '')) as double)"
-            f" / greatest(length(text), 1)"
-        ).alias("punct_ratio"),
-        F.expr(
-            f"cast({_lang_score(tok, 'en', True)} as double)"
-            f" / greatest(size({tok}), 1)"
-        ).alias("stopword_ratio"),
-        F.expr(
-            f"0.4 * least(cast(size({tok}) as double) / 200.0, 1.0)"
-            f" + 0.3 * (1.0 - cast(length(regexp_replace(text, '{_PUNCT_RE}', '')) as double)"
-            f"          / greatest(length(text), 1))"
-            f" + 0.3 * (cast({_lang_score(tok, 'en', True)} as double)"
-            f"          / greatest(size({tok}), 1))"
-        ).alias("quality_score"),
+        F.expr(punct_ratio_expr(True)).alias("punct_ratio"),
+        F.expr(stopword_ratio_expr(True)).alias("stopword_ratio"),
+        F.expr(quality_score_expr(True)).alias("quality_score"),
     )
 
 
 def doc_stats_oracle(corpus_cte: str) -> str:
     tok = H.tokens("text", spark=False)
-    en = _lang_score(tok, "en", False)
     return f"""WITH {corpus_cte}
 SELECT doc_id,
        CAST(LENGTH(text) AS BIGINT) AS n_chars,
        CAST(len({tok}) AS BIGINT) AS n_tokens_ws,
        CAST(len(regexp_extract_all(text, '{_BPE_RE_DUCK}')) AS BIGINT) AS n_tokens_bpe,
-       CAST(LENGTH(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)
-             / GREATEST(LENGTH(text), 1) AS punct_ratio,
-       CAST({en} AS DOUBLE) / GREATEST(len({tok}), 1) AS stopword_ratio,
-       0.4 * LEAST(CAST(len({tok}) AS DOUBLE) / 200.0, 1.0)
-             + 0.3 * (1.0 - CAST(LENGTH(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)
-                      / GREATEST(LENGTH(text), 1))
-             + 0.3 * (CAST({en} AS DOUBLE) / GREATEST(len({tok}), 1)) AS quality_score
+       {punct_ratio_expr(False)} AS punct_ratio,
+       {stopword_ratio_expr(False)} AS stopword_ratio,
+       {quality_score_expr(False)} AS quality_score
 FROM corpus
 """
 

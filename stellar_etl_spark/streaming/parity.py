@@ -193,16 +193,122 @@ def _slice_dir(spark: SparkSession, sf_dir: str, n_files: int = N_SLICES) -> str
     return out
 
 
+def disorder_dir(
+    spark: SparkSession, sf_dir: str, mode: str = "reverse"
+) -> str:
+    """Permuted-delivery copy of the parity slices (VERDICT r04 "Next
+    round" #5): same parquet files, but the DATA slices are renamed and
+    re-mtimed so the file stream delivers them in reversed (or seeded-
+    shuffled) event-time order — every micro-batch boundary now crosses
+    state that was built from FUTURE events. The closer sentinels keep
+    their terminal delivery slots: they carry the watermark push that
+    finalizes every pending timeout, and delivering them first would
+    advance the watermark past the real events and late-drop the whole
+    input (which is the disorder bound the parity delay is sized
+    against — see PARITY_DELAY). Cached per (sf_dir, mode)."""
+    src = _slice_dir(spark, sf_dir)
+    key = hashlib.md5(f"{sf_dir}|{mode}".encode()).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_parity", f"disorder-v1-{key}"
+    )
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    import random
+    import shutil
+    import time as _time
+
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+    data = sorted(
+        f for f in os.listdir(src)
+        if f.startswith("slice-") and f.endswith(".parquet")
+    )
+    closers = sorted(
+        f for f in os.listdir(src)
+        if f.startswith("zz-closer-") and f.endswith(".parquet")
+    )
+    order = list(data)
+    if mode == "reverse":
+        order.reverse()
+    elif mode == "shuffle":
+        random.Random(7).shuffle(order)
+    else:  # pragma: no cover - guard against typo'd modes
+        raise ValueError(f"unknown disorder mode: {mode}")
+    t0 = _time.time() - 2.0 * (len(order) + len(closers) + 1)
+    for i, f in enumerate(order):
+        # delivery position i now carries the i-th PERMUTED slice; the
+        # new name keeps name order == delivery order (the stream picks
+        # up by mtime, with the name as tiebreak)
+        dst = os.path.join(out, f"slice-{i:05d}.parquet")
+        shutil.copyfile(os.path.join(src, f), dst)
+        os.utime(dst, (t0 + 2.0 * i, t0 + 2.0 * i))
+    for k, f in enumerate(closers):
+        dst = os.path.join(out, f)
+        shutil.copyfile(os.path.join(src, f), dst)
+        mt = t0 + 2.0 * (len(order) + k)
+        os.utime(dst, (mt, mt))
+    with open(marker, "w") as fh:
+        fh.write(mode)
+    return out
+
+
+def disorder_doc_dir(
+    spark: SparkSession, sf_dir: str, mode: str = "reverse"
+) -> str:
+    """disorder_dir for the doc-corpus slices (_doc_slice_dir): full
+    permutation, no sentinels to protect."""
+    src = _doc_slice_dir(spark, sf_dir)
+    key = hashlib.md5(f"docs|{sf_dir}|{mode}".encode()).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_parity", f"disorder-docs-v1-{key}"
+    )
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    import random
+    import shutil
+    import time as _time
+
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out, exist_ok=True)
+    data = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+    order = list(data)
+    if mode == "reverse":
+        order.reverse()
+    elif mode == "shuffle":
+        random.Random(7).shuffle(order)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown disorder mode: {mode}")
+    t0 = _time.time() - 2.0 * (len(order) + 1)
+    for i, f in enumerate(order):
+        dst = os.path.join(out, f"slice-{i:05d}.parquet")
+        shutil.copyfile(os.path.join(src, f), dst)
+        os.utime(dst, (t0 + 2.0 * i, t0 + 2.0 * i))
+    with open(marker, "w") as fh:
+        fh.write(mode)
+    return out
+
+
 def streamed_turn_pairs(
-    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    src_dir: str | None = None,
+    max_files_per_trigger: int = 2,
+    ooo: bool = False,
 ) -> DataFrame:
     """Drain the stateful matcher over the sliced driver input; result
     equals operators/pairs.match_pairs row-for-row (same oracle)."""
     from stellar_etl_spark.deploy import ship_package
     from stellar_etl_spark.streaming.matcher import match_pairs_stream
+    from stellar_etl_spark.streaming.ooo import match_pairs_stream_ooo
 
     ship_package(spark)
-    src_dir = _slice_dir(spark, sf_dir)
+    matcher = match_pairs_stream_ooo if ooo else match_pairs_stream
+    src_dir = src_dir or _slice_dir(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="parity_pairs_")
     parity_cfg = EngineConfig(
         session_gap=cfg.session_gap, watermark_delay=PARITY_DELAY
@@ -213,11 +319,12 @@ def streamed_turn_pairs(
     # in an extra empty batch - documented noDataMicroBatches behavior),
     # so the two closer files no longer need separate triggers.
     stream = read_transcript_stream(
-        spark, src_dir, max_files_per_trigger=2, with_lineage=False
+        spark, src_dir,
+        max_files_per_trigger=max_files_per_trigger, with_lineage=False
     )
     with _drain_conf(spark, DRAIN_PARTITIONS_STATEFUL):
         q = (
-            match_pairs_stream(stream, parity_cfg)
+            matcher(stream, parity_cfg)
             .writeStream.queryName("parity_pairs")
             .outputMode("append")
             .format("parquet")
@@ -983,7 +1090,12 @@ TURN_TOOLS_ORACLE_SQL = """
 TRANS_TABLE = "transitions"
 
 
-def streamed_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streamed_tool_transitions(
+    spark: SparkSession,
+    sf_dir: str,
+    src_dir: str | None = None,
+    ooo: bool = False,
+) -> DataFrame:
     """The CEP transition detector (streaming/transitions.py) drained
     over the sliced driver input: per-conversation last-tool state
     emits each (prev -> tool) bigram as it arrives; bigrams reduce per
@@ -998,16 +1110,27 @@ def streamed_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ship_package(spark)
-    src_dir = _slice_dir(spark, sf_dir)
+    src_dir = src_dir or _slice_dir(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="parity_trans_")
     sink = EpochCommitSink(os.path.join(work, "sink"))
-    stream = (
-        read_transcript_stream(
-            spark, src_dir, max_files_per_trigger=2, with_lineage=False
-        )
-        .filter(F.col("conv_id") != CLOSER_CONV)
-        .filter(F.col("tool").isNotNull())
+    raw = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2, with_lineage=False
     )
+    if ooo:
+        # the watermark-ordered form is timer-driven: closers must
+        # reach the watermark node, and null-tool rows are skipped
+        # inside the fold — no pre-filters (the snapshot_ttl lesson);
+        # closer bigrams drop in the per-batch partial instead
+        from stellar_etl_spark.streaming.ooo import tool_transitions_stream_ooo
+
+        detected = tool_transitions_stream_ooo(
+            raw, EngineConfig(watermark_delay=PARITY_DELAY)
+        ).filter(F.col("conv_id") != CLOSER_CONV)
+    else:
+        detected = tool_transitions_stream(
+            raw.filter(F.col("conv_id") != CLOSER_CONV)
+            .filter(F.col("tool").isNotNull())
+        )
 
     def _write(batch_df: DataFrame, epoch_id: int) -> None:
         partial = (
@@ -1019,7 +1142,7 @@ def streamed_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with _drain_conf(spark):
         q = (
-            tool_transitions_stream(stream)
+            detected
             .writeStream.queryName("parity_trans")
             .outputMode("append")
             .foreachBatch(_write)
@@ -1039,7 +1162,11 @@ def streamed_tool_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- streamed error bursts ---------------------------------------------------
 
 def streamed_error_bursts(
-    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    src_dir: str | None = None,
+    ooo: bool = False,
 ) -> DataFrame:
     """The quantified-CEP burst detector (streaming/bursts.py) drained
     over the sliced driver input: a run of >= MIN_BURST consecutive
@@ -1053,9 +1180,11 @@ def streamed_error_bursts(
     (operators/journeys.ERROR_BURSTS_ORACLE_SQL)."""
     from stellar_etl_spark.deploy import ship_package
     from stellar_etl_spark.streaming.bursts import error_bursts_stream
+    from stellar_etl_spark.streaming.ooo import error_bursts_stream_ooo
 
     ship_package(spark)
-    src_dir = _slice_dir(spark, sf_dir)
+    detector = error_bursts_stream_ooo if ooo else error_bursts_stream
+    src_dir = src_dir or _slice_dir(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="parity_bursts_")
     parity_cfg = EngineConfig(watermark_delay=PARITY_DELAY)
     stream = read_transcript_stream(
@@ -1063,7 +1192,7 @@ def streamed_error_bursts(
     )
     with _drain_conf(spark, DRAIN_PARTITIONS_STATEFUL):
         q = (
-            error_bursts_stream(stream, parity_cfg)
+            detector(stream, parity_cfg)
             .writeStream.queryName("parity_bursts")
             .outputMode("append")
             .format("parquet")
@@ -1083,7 +1212,9 @@ def streamed_error_bursts(
 MINHASH_BUCKET_TABLE = "minhash_buckets"
 
 
-def streamed_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streamed_dedup_minhash(
+    spark: SparkSession, sf_dir: str, src_dir: str | None = None
+) -> DataFrame:
     """MinHash-LSH near-dup detection with bucket membership as REAL
     streaming state (streaming/lshstate.py): the corpus streamed in
     doc_id-range slices, per-(band_idx, band_key) membership maintained
@@ -1097,7 +1228,7 @@ def streamed_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stellar_etl_spark.streaming.lshstate import minhash_bucket_stream
 
     ship_package(spark)
-    src_dir = _doc_slice_dir(spark, sf_dir)
+    src_dir = src_dir or _doc_slice_dir(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="parity_minhash_")
     sink_root = os.path.join(work, "sink")
     sink = EpochCommitSink(sink_root)
@@ -1358,7 +1489,10 @@ def fold_lm_sink(spark: SparkSession, sink_root: str) -> DataFrame:
 # --- streamed data-quality monitor -------------------------------------------
 
 def streamed_dq_violations(
-    spark: SparkSession, sf_dir: str, cfg: EngineConfig = DEFAULT
+    spark: SparkSession,
+    sf_dir: str,
+    cfg: EngineConfig = DEFAULT,
+    src_dir: str | None = None,
 ) -> DataFrame:
     """The streaming integrity monitor (streaming/dq.py) drained over
     the sliced driver input with the SAME deterministic violation
@@ -1373,7 +1507,7 @@ def streamed_dq_violations(
     from stellar_etl_spark.streaming.dq import dq_violations_stream
 
     ship_package(spark)
-    src_dir = _slice_dir(spark, sf_dir)
+    src_dir = src_dir or _slice_dir(spark, sf_dir)
     work = tempfile.mkdtemp(prefix="parity_dq_")
     parity_cfg = EngineConfig(watermark_delay=PARITY_DELAY)
     stream = read_transcript_stream(
@@ -1511,3 +1645,104 @@ def streamed_turn_replies_outer(
     return spark.read.parquet(os.path.join(work, "out")).filter(
         F.col("conv_id") != CLOSER_CONV
     )
+
+
+FANOUT_TURNS = "fanout_turns"
+FANOUT_RATE = "fanout_rate"
+FANOUT_CONVS = "fanout_convs"
+
+
+def streamed_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed multi-output streaming DAG under ONE checkpoint
+    (VERDICT r04 "Next round" #3): one transcript stream fans out to
+    THREE tables inside a single foreachBatch — a row-local projection
+    (fanout_turns), a tumbling-window rate partial (fanout_rate, fold =
+    SUM), and a per-(tool, conv) count partial (fanout_convs, fold =
+    SUM) — committed all-or-nothing per epoch through
+    streaming/pipeline.start_fanout, the engine's analog of the
+    reference's one-consumer-loop/many-tables demux
+    (cmd/export_ledger_entry_changes.go:129-271) with the atomicity it
+    lacks. The serve-time fold joins all three tables into one per-tool
+    report, so the driver's value hash gates every table AND the
+    single-checkpoint exactly-once property at once: an epoch
+    duplicated or dropped in ANY of the three tables skews its columns
+    (n_turns / rate_total / n_windows / n_convs / conv_turns_total)
+    away from the batch oracle."""
+    from stellar_etl_spark.streaming.pipeline import start_fanout
+
+    src_dir = _slice_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="parity_fanout_")
+    sink_root = os.path.join(work, "sink")
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=2
+    ).filter(F.col("conv_id") != CLOSER_CONV)
+
+    def _tooled(df: DataFrame) -> DataFrame:
+        return df.filter(F.col("tool").isNotNull())
+
+    transforms = {
+        FANOUT_TURNS: lambda df: _tooled(df).select(
+            "conv_id", "turn_idx", "tool", "ts"
+        ),
+        FANOUT_RATE: lambda df: (
+            _tooled(df)
+            .groupBy(F.window("ts", "1 minute").alias("w"), "tool")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "tool", "n")
+        ),
+        FANOUT_CONVS: lambda df: (
+            _tooled(df)
+            .groupBy("tool", "conv_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        ),
+    }
+    with _drain_conf(spark):
+        q = start_fanout(
+            stream,
+            sink_root,
+            os.path.join(work, "ckpt"),
+            transforms,
+            available_now=True,
+            query_name="parity_fanout",
+        )
+        q.awaitTermination()
+
+    sink = EpochCommitSink(sink_root)
+    a = (
+        sink.read_table(spark, FANOUT_TURNS)
+        .groupBy("tool")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    )
+    b = (
+        sink.read_table(spark, FANOUT_RATE)
+        .groupBy("tool")
+        .agg(
+            F.sum("n").cast("long").alias("rate_total"),
+            F.countDistinct("window_start").cast("long").alias("n_windows"),
+        )
+    )
+    c = (
+        sink.read_table(spark, FANOUT_CONVS)
+        .groupBy("tool", "conv_id")
+        .agg(F.sum("n").cast("long").alias("cn"))
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum("cn").cast("long").alias("conv_turns_total"),
+        )
+    )
+    return a.join(b, "tool").join(c, "tool")
+
+
+FANOUT_ORACLE_SQL = """
+    SELECT tool,
+           COUNT(*) AS n_turns,
+           CAST(COUNT(*) AS BIGINT) AS rate_total,
+           CAST(COUNT(DISTINCT CAST(floor(epoch(ts)/60) AS BIGINT)) AS BIGINT)
+               AS n_windows,
+           CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+           CAST(COUNT(*) AS BIGINT) AS conv_turns_total
+    FROM transcripts
+    WHERE tool IS NOT NULL
+    GROUP BY tool
+"""

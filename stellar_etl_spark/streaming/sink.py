@@ -72,8 +72,23 @@ class EpochCommitSink:
 
         Returns False if the epoch was already committed (idempotent
         replay after checkpoint restart — the exactly-once guarantee).
+
+        On that replay path the DataFrames are still evaluated once
+        through the noop sink (all partitions, JVM-side, nothing
+        written): Spark 4.1 validates that every micro-batch commits
+        its state-store partitions IN THE CURRENT RUN
+        (``spark.sql.streaming.stateStore.commitValidation.enabled``
+        defaults to true), and a foreachBatch that returns without
+        touching the DataFrame leaves those commits at 0 — the resumed
+        query then dies with STATE_STORE_COMMIT_VALIDATION_FAILED
+        (SQLSTATE XXKST, "Expected N commits but got 0") even though
+        the prior attempt's state deltas are durable. Re-evaluating
+        recommits the deterministic state versions and satisfies the
+        validator; the sink output stays write-once.
         """
         if self.committed(epoch_id):
+            for df in tables.values():
+                df.write.format("noop").mode("overwrite").save()
             return False
         manifest: dict = {
             "epoch_id": epoch_id,

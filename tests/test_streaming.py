@@ -464,6 +464,74 @@ def test_snapshot_ttl_kill_resume_equals_oracle(spark, tmp_path):
     assert got.count() < compact_last_state(t).count()
 
 
+def test_replayed_committed_epoch_recommits_state(spark, tmp_path):
+    """Deterministic reproduction of the kill/resume race that made
+    test_snapshot_ttl_kill_resume_equals_oracle flaky (VERDICT r04
+    "What's wrong" #2): a hard kill can land AFTER the sink's epoch
+    manifest rename but BEFORE Spark writes checkpoint/commits/N, so
+    the restart replays batch N whose sink epoch is already durable.
+    Pre-fix, EpochCommitSink.write_epoch returned without evaluating
+    the DataFrame, so the replayed batch committed 0 state-store
+    partitions and Spark 4.1's commit validator
+    (spark.sql.streaming.stateStore.commitValidation.enabled, default
+    true) killed the resumed query with
+    STATE_STORE_COMMIT_VALIDATION_FAILED ("Expected N commits but got
+    0", SQLSTATE XXKST). The fix drives the replayed batch through the
+    noop sink so this run's state stores recommit their deterministic
+    versions. Simulated exactly, no timing: run the TTL snapshot
+    stream to completion, delete the newest Spark commit-log entry
+    (offsets + sink manifest intact = the mid-race checkpoint state),
+    restart, and require both clean termination and byte-identical
+    sink content."""
+    from stellar_etl_spark.streaming import parity
+    from stellar_etl_spark.streaming.snapshot import (
+        read_final_snapshot,
+        start_snapshot_stream,
+    )
+    from tests.conftest import SF_UNIT
+
+    src_dir = parity._slice_dir(spark, SF_UNIT)
+    sink_root = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    cfg = EngineConfig(watermark_delay=parity.PARITY_DELAY)
+
+    def start():
+        stream = read_transcript_stream(
+            spark, src_dir, max_files_per_trigger=1, with_lineage=False
+        )
+        return start_snapshot_stream(
+            stream, sink_root, ckpt, cfg=cfg,
+            available_now=True, query_name="ttl_replay",
+            ttl_s=parity.SNAPSHOT_TTL_S,
+        )
+
+    q1 = start()
+    assert q1.awaitTermination(540), "first TTL snapshot run did not finish"
+    epochs_before = EpochCommitSink(sink_root).committed_epochs()
+    assert len(epochs_before) >= 3
+    before = _rows(read_final_snapshot(spark, sink_root))
+
+    # Surgically reproduce the race: Spark thinks batch N never
+    # committed (commits/N gone, offsets/N present) while the sink's
+    # epoch-N manifest says it did.
+    commits_dir = os.path.join(ckpt, "commits")
+    entries = sorted(
+        (f for f in os.listdir(commits_dir) if f.isdigit()), key=int
+    )
+    os.remove(os.path.join(commits_dir, entries[-1]))
+    crc = os.path.join(commits_dir, f".{entries[-1]}.crc")
+    if os.path.exists(crc):  # ChecksumFs would refuse the re-write rename
+        os.remove(crc)
+
+    q2 = start()
+    assert q2.awaitTermination(540), (
+        "restart did not finish — replayed committed epoch likely died "
+        "on STATE_STORE_COMMIT_VALIDATION_FAILED"
+    )
+    assert EpochCommitSink(sink_root).committed_epochs() == epochs_before
+    assert _rows(read_final_snapshot(spark, sink_root)) == before
+
+
 def test_sink_compact_preserves_content_and_vacuums(spark, tmp_path):
     """Compaction (rewrite_data_files analog): read_table content is
     identical before/after compact() and after vacuum(); epochs
@@ -904,8 +972,9 @@ def test_bm25_resume_absorbs_replayed_index_epochs(spark, tmp_path):
 
 def test_dq_stream_kill_resume_equals_batch(spark, tmp_path):
     """Kill the streaming DQ monitor mid-input, resume from the same
-    checkpoint: the per-conversation (turn_idx, ts) ledger state
-    survives the restart (c1's duplicate turn arrives AFTER the kill,
+    checkpoint: the per-conversation order-check state (idx-sorted
+    group stats, streaming/dq.DQ_STATE_SCHEMA) survives the restart
+    (c1's duplicate turn arrives AFTER the kill,
     its first copy before), order checks finalize via EventTimeTimeout
     when the closer sentinels push the final watermark, row-local
     checks ride their own micro-batch, and the whole output equals the
@@ -1040,6 +1109,135 @@ def test_dq_stream_kill_resume_equals_batch(spark, tmp_path):
     assert _rows(got, cols) == _rows(
         dq_violations(batch_in).filter(F.col("conv_id") != parity.CLOSER_CONV), cols
     )
+
+
+def test_dq_stream_hot_conversation_bounded_state(spark, tmp_path):
+    """A never-idle conversation touches EVERY micro-batch and its
+    distinct-turn count blows past the open-group ceiling: the monitor
+    must (a) keep state bounded by partially finalizing the lowest-idx
+    groups mid-stream — observable as order-check rows landing in
+    epochs BEFORE the watermark-timeout tail — and (b) still emit
+    exactly the batch checker's rows (VERDICT r04 "What's wrong" #4 /
+    "Next round" #4: bounded DQ state, same oracle, one hot
+    conversation spanning every micro-batch)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stellar_etl_spark.operators.dq import dq_violations
+    from stellar_etl_spark.streaming import parity
+    from stellar_etl_spark.streaming.dq import dq_violations_stream
+
+    base_us = 1_700_000_000 * 1_000_000
+
+    def turn(conv, idx, role="assistant", text="ok", ts_us=None):
+        return (
+            conv, idx, role, text, None,
+            base_us + idx * 1_000_000 if ts_us is None else ts_us,
+        )
+
+    # 6 slices × 4 consecutive hot turns each = 24 distinct idxs, far
+    # past max_open_groups=4. Violations stay within the retained
+    # suffix when they complete: a dup (idx 5, copies in one slice), a
+    # gap (13 skipped), a regression (17's ts dips below 16's).
+    slices = []
+    for s in range(6):
+        rows = []
+        for k in range(4):
+            idx = s * 4 + k
+            if idx == 13:
+                continue
+            if idx == 17:
+                # dips below turn 16's ts -> ts_regression at 17
+                rows.append(turn("hot", idx, ts_us=base_us + 15_500_000))
+            else:
+                rows.append(turn("hot", idx))
+        if s == 1:
+            rows.append(turn("hot", 5))  # duplicate copy, same slice
+        rows.append(turn("ctl", s))  # clean control conversation
+        slices.append(rows)
+
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    t0 = time.time() - 2.0 * (len(slices) + 3)
+    for i, rows in enumerate(slices):
+        cols = list(zip(*rows))
+        path = os.path.join(src_dir, f"slice-{i:05d}.parquet")
+        pq.write_table(
+            pa.table(dict(zip(schema.names, cols)), schema=schema), path
+        )
+        os.utime(path, (t0 + 2.0 * i, t0 + 2.0 * i))
+    for k in range(2):
+        tbl = pa.table(
+            {
+                "conv_id": [parity.CLOSER_CONV],
+                "turn_idx": [k],
+                "role": ["assistant"],
+                "text": ["closer"],
+                "tool": [parity.CLOSER_CONV],
+                "ts": [base_us + parity._DELAY_US + parity._SLACK_US + k * 1_000_000],
+            },
+            schema=schema,
+        )
+        path = os.path.join(src_dir, f"zz-closer-{k}.parquet")
+        pq.write_table(tbl, path)
+        mt = t0 + 2.0 * (len(slices) + k)
+        os.utime(path, (mt, mt))
+
+    out = str(tmp_path / "out")
+    cfg = EngineConfig(watermark_delay=parity.PARITY_DELAY)
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=1, with_lineage=False
+    )
+
+    def _write(batch_df, epoch_id):
+        batch_df.withColumn("epoch", F.lit(epoch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        dq_violations_stream(stream, cfg, max_open_groups=4, keep_groups=2)
+        .writeStream.queryName("dq_hot")
+        .outputMode("append")
+        .foreachBatch(_write)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(540), "hot-conversation DQ stream did not finish"
+
+    got = spark.read.parquet(out).filter(F.col("conv_id") != parity.CLOSER_CONV)
+    cols = ["check_name", "conv_id", "turn_idx", "detail"]
+    batch_in = spark.read.parquet(src_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    assert _rows(got, cols) == _rows(
+        dq_violations(batch_in).filter(F.col("conv_id") != parity.CLOSER_CONV),
+        cols,
+    )
+    # partial finalize actually fired: the hot conversation's order
+    # rows span multiple epochs (early partial emissions + the
+    # watermark-timeout tail), not one terminal dump
+    hot_epochs = {
+        r.epoch
+        for r in got.filter(
+            (F.col("conv_id") == "hot")
+            & F.col("check_name").isin("dup_turn_idx", "turn_gap", "ts_regression")
+        ).collect()
+    }
+    assert len(hot_epochs) >= 2, hot_epochs
+
 
 def test_reply_join_resume_pairs_straddle_kill(spark, tmp_path):
     """Native stream-stream range join: kill mid-input with a user
