@@ -303,6 +303,13 @@ def _q_ann_sq8(spark, sf):
     return fsim.ann_sq8(fcorpus.load_embeddings(spark, sf))
 
 
+def _q_ann_recall(spark, sf):
+    """ANN evaluation: recall@k of lsh/ivf/ivf2/sq8 against exact
+    brute force at each method's own k — approximation quality as a
+    queryable, oracle-gated table."""
+    return fsim.ann_recall(fcorpus.load_embeddings(spark, sf))
+
+
 def _q_ann_ivf2(spark, sf):
     """Hierarchical two-level IVF: N^1.25 assignment replacing
     ann_ivf's N^1.5 (the VERDICT r04 #7 scalability fix), fully
@@ -880,7 +887,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_ngram_jaccard": _q_dedup_ngram,
         "initiating_user": _q_initiating_user,
-        "dim_tools": _q_dim_tools,
         # (4) new or modified in round 5 — must gate this round:
         # fanout_streamed is NEW (single-checkpoint multi-table DAG),
         # turn_pairs_disorder_streamed is NEW (reversed-delivery drain
@@ -890,9 +896,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ledger)
         "fanout_streamed": _q_fanout_streamed,
         "ann_topk_ivf2": _q_ann_ivf2,
+        "ann_recall": _q_ann_recall,
         "turn_pairs_disorder_streamed": _q_turn_pairs_disorder_streamed,
         "dq_violations_streamed": _q_dq_violations_streamed,
         # ---- position 50 boundary. Below: r03-green flagship remainder,
+        "dim_tools": _q_dim_tools,
         "explode_tokens": _q_explode_tokens,
         "top_convs": _q_top_convs,
         # then everything green in CORRECTNESS_r04.json (last round),
@@ -1090,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_lsh": fsim.ann_lsh_oracle(fcorpus.EMB_CTE),
         "ann_topk_ivf": fsim.ann_ivf_oracle(fcorpus.EMB_CTE),
         "ann_topk_ivf2": fsim.ann_ivf2_oracle(fcorpus.EMB_CTE),
+        "ann_recall": fsim.ann_recall_oracle(fcorpus.EMB_CTE),
         "corpus_sample": fcur.stratified_sample_oracle(fcorpus.CORPUS_CTE),
         "doc_top_terms": fcur.doc_top_terms_oracle(fcorpus.CORPUS_CTE),
         "latency_quantiles": _W + pairs.latency_quantiles_oracle_sql(),

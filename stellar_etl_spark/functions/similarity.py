@@ -659,3 +659,77 @@ ranked AS (
 SELECT query_id, neighbor_id, ROUND(cos_sim, 6) AS cos_sim, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# --- ANN evaluation: recall@k against exact brute force ----------------------
+
+def ann_recall(emb: DataFrame) -> DataFrame:
+    """Recall@k of every approximate ANN method against the exact
+    brute-force top-k — the evaluation metric an ANN deployment tracks
+    before trusting an index (the standard companion to T6/T7/T14/T32/
+    T68: approximation quality as a QUERYABLE table, not a code
+    comment). For each method, truth = ann_bruteforce at the METHOD'S
+    OWN k ((cos desc, neighbor_id)-deterministic, so truth sets are
+    unique); n_hits counts truth pairs the method returned; recall is
+    the one raw IEEE division (dialect-exact by the no-ROUND rule).
+    Everything is DataFrame composition over the already-audited
+    method plans — no driver-side collection; the per-method aggregates
+    are 1-row and union to a 4-row table."""
+    methods = [
+        ("lsh", ann_lsh(emb), TOP_K_LSH),
+        ("ivf", ann_ivf(emb), TOP_K_IVF),
+        ("ivf2", ann_ivf2(emb), TOP_K_IVF),
+        ("sq8", ann_sq8(emb), TOP_K_SQ8),
+    ]
+    out = None
+    for name, res, k in methods:
+        truth = ann_bruteforce(emb, k=k).select("query_id", "neighbor_id")
+        hit = res.select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        row = (
+            truth.join(hit, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_expected"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(name).alias("method"),
+                "n_expected",
+                "n_hits",
+                (F.col("n_hits").cast("double") / F.col("n_expected")).alias(
+                    "recall"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def ann_recall_oracle(emb_cte: str) -> str:
+    def pairs(sql: str) -> str:
+        return f"(SELECT query_id, neighbor_id FROM ({sql}))"
+
+    def block(method: str, method_sql: str, truth_sql: str) -> str:
+        return f"""SELECT '{method}' AS method,
+       CAST(COUNT(*) AS BIGINT) AS n_expected,
+       CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN m.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS recall
+FROM {pairs(truth_sql)} t
+LEFT JOIN {pairs(method_sql)} m
+  ON m.query_id = t.query_id AND m.neighbor_id = t.neighbor_id"""
+
+    b_lsh = ann_bruteforce_oracle(emb_cte, k=TOP_K_LSH)
+    b_ivf = ann_bruteforce_oracle(emb_cte, k=TOP_K_IVF)
+    b_sq8 = ann_bruteforce_oracle(emb_cte, k=TOP_K_SQ8)
+    return "\nUNION ALL\n".join(
+        [
+            block("lsh", ann_lsh_oracle(emb_cte), b_lsh),
+            block("ivf", ann_ivf_oracle(emb_cte), b_ivf),
+            block("ivf2", ann_ivf2_oracle(emb_cte), b_ivf),
+            block("sq8", ann_sq8_oracle(emb_cte), b_sq8),
+        ]
+    )
