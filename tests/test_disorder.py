@@ -168,3 +168,92 @@ def test_matcher_disorder_kill_resume(spark, tmp_path):
         "response_role", "response_tool", "evicted_unmatched",
     ]
     assert _rows(got, cols) == _rows(exp, cols)
+
+
+def test_ooo_matcher_monotonicity_violation_still_exact(spark, tmp_path):
+    """The documented exactness condition of the watermark-ordered
+    replay is per-conversation ts monotone in turn_idx; a VIOLATION (a
+    wild future-timestamp row at a low idx) must only DELAY
+    finalization — the idx-order prefix rule stops at the non-final
+    row — never corrupt replay order or drop data. Construction: idx 2
+    carries a ts 7 minutes ahead of its neighbors while the watermark
+    delay is 5 minutes, so after slice 0 the watermark (driven by the
+    wild row) sits BETWEEN the normal rows' timestamps: idx 0/1 are
+    watermark-final while idx 2 blocks the prefix, and slice 1's
+    normal-ts rows arrive exactly at the watermark boundary (kept —
+    Spark drops strictly-below only). The final fold must equal the
+    batch matcher on the same rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stellar_etl_spark.operators.pairs import match_pairs
+    from stellar_etl_spark.streaming.ooo import match_pairs_stream_ooo
+    from stellar_etl_spark.streaming.source import read_transcript_stream
+
+    base_us = 1_700_000_000 * 1_000_000
+
+    def turn(idx, role, ts_s):
+        return ("m", idx, role, "ok", None, base_us + ts_s * 1_000_000)
+
+    slices = [
+        # idx 2's ts (420 s) is 7 min ahead of its neighbors
+        [turn(0, "user", 0), turn(1, "assistant", 60),
+         turn(2, "user", 420)],
+        [turn(3, "assistant", 120), turn(4, "user", 180)],
+        # closers: push the watermark past everything
+        [("zzc", 0, "assistant", "closer", None,
+          base_us + 100_000 * 1_000_000)],
+        [("zzc", 1, "assistant", "closer", None,
+          base_us + 100_001 * 1_000_000)],
+    ]
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    t0 = time.time() - 2.0 * (len(slices) + 1)
+    for i, rows in enumerate(slices):
+        cols = list(zip(*rows))
+        path = os.path.join(src_dir, f"slice-{i:05d}.parquet")
+        pq.write_table(
+            pa.table(dict(zip(schema.names, cols)), schema=schema), path
+        )
+        os.utime(path, (t0 + 2.0 * i, t0 + 2.0 * i))
+
+    out = str(tmp_path / "out")
+    stream = read_transcript_stream(
+        spark, src_dir, max_files_per_trigger=1, with_lineage=False
+    )
+    q = (
+        match_pairs_stream_ooo(stream, EngineConfig(watermark_delay="5 minutes"))
+        .writeStream.queryName("ooo_monotonicity")
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(540), "monotonicity-violation drain did not finish"
+
+    got = spark.read.parquet(out).filter(F.col("conv_id") == "m")
+    batch_in = spark.read.parquet(src_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).filter(F.col("conv_id") == "m")
+    exp = match_pairs(batch_in, EngineConfig())
+    cols = [
+        "conv_id", "user_turn_idx", "response_turn_idx",
+        "response_role", "response_tool", "evicted_unmatched",
+    ]
+    assert _rows(got, cols) == _rows(exp, cols)
+    # shape check: (0,1) and (2,3) paired, 4 evicted unmatched
+    assert _rows(got, ["user_turn_idx", "response_turn_idx"]) == [
+        (0, 1), (2, 3), (4, None)
+    ]
